@@ -1,0 +1,100 @@
+"""Resize ops with exact torch ``F.interpolate`` semantics, TPU-first.
+
+The reference mixes interpolation conventions that change numerics:
+
+* U-Net up path: bilinear, ``align_corners=False``  (reference models/unet.py:67)
+* PHiSeg up paths: bilinear/trilinear, ``align_corners=True``
+  (reference models/phiseg.py:66,216,305-309)
+* PHiSeg output heads: ``nearest`` to full resolution (models/phiseg.py:321)
+
+Implementation: separable 1-D interpolation expressed as small static
+matrices contracted with einsum — on TPU each becomes an MXU matmul fused
+with neighbors, instead of gather chains. Matrices are built in numpy at
+trace time (shapes are static under jit).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_matrix(in_len: int, out_len: int, align_corners: bool) -> np.ndarray:
+    """(out_len, in_len) row-stochastic linear interpolation matrix."""
+    w = np.zeros((out_len, in_len), np.float32)
+    if in_len == 1:
+        w[:, 0] = 1.0
+        return w
+    i = np.arange(out_len, dtype=np.float64)
+    if align_corners:
+        if out_len == 1:
+            src = np.zeros(1)
+        else:
+            src = i * (in_len - 1) / (out_len - 1)
+    else:
+        src = (i + 0.5) * in_len / out_len - 0.5
+        src = np.clip(src, 0.0, in_len - 1)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.minimum(lo, in_len - 2)
+    frac = src - lo
+    w[np.arange(out_len), lo] = 1.0 - frac
+    w[np.arange(out_len), lo + 1] += frac
+    return w
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_matrix(in_len: int, out_len: int) -> np.ndarray:
+    """torch 'nearest': src = floor(i * in / out)."""
+    w = np.zeros((out_len, in_len), np.float32)
+    src = np.floor(np.arange(out_len) * in_len / out_len).astype(np.int64)
+    src = np.minimum(src, in_len - 1)
+    w[np.arange(out_len), src] = 1.0
+    return w
+
+
+def _apply_axis_matrix(x, mat: np.ndarray, axis: int):
+    """Contract interpolation matrix over one axis: out[..., o, ...] = Σ_i M[o,i] x[..., i, ...]."""
+    m = jnp.asarray(mat, dtype=x.dtype)
+    x_moved = jnp.moveaxis(x, axis, -1)
+    # HIGHEST precision: interpolation weights must not be bf16-rounded on TPU.
+    y = jnp.einsum("...i,oi->...o", x_moved, m, precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(y, -1, axis)
+
+
+def resize_linear(x, out_size, align_corners: bool):
+    """Bi/tri-linear resize of NHWC / NDHWC input to spatial ``out_size``."""
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    assert len(out_size) == len(spatial_axes), (out_size, x.shape)
+    for axis, out_len in zip(spatial_axes, out_size):
+        in_len = x.shape[axis]
+        if in_len != out_len:
+            x = _apply_axis_matrix(x, _linear_matrix(in_len, out_len, align_corners), axis)
+    return x
+
+
+def upsample_linear(x, scale: int = 2, align_corners: bool = True):
+    out = tuple(s * scale for s in x.shape[1:-1])
+    return resize_linear(x, out, align_corners)
+
+
+def upsample_nearest(x, out_size):
+    """Nearest-neighbor resize (torch 'nearest' index convention).
+
+    For integer upscale factors this lowers to a broadcast+reshape
+    (jnp.repeat), free of gathers; otherwise a one-hot matmul.
+    """
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    assert len(out_size) == len(spatial_axes)
+    for axis, out_len in zip(spatial_axes, out_size):
+        in_len = x.shape[axis]
+        if out_len == in_len:
+            continue
+        if out_len % in_len == 0:
+            x = jnp.repeat(x, out_len // in_len, axis=axis)
+        else:
+            x = _apply_axis_matrix(x, _nearest_matrix(in_len, out_len), axis)
+    return x

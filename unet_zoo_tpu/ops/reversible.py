@@ -1,0 +1,211 @@
+"""Reversible conv sequences with O(1) activation memory.
+
+The reference's memory headline (RevPHiSeg, arXiv:2008.06999, "up to 30%
+memory savings") comes from revtorch additive-coupling blocks: split the
+C channels into two streams, y1 = x1 + f(x2), y2 = x2 + g(y1); the backward
+pass *reconstructs* x1,x2 from y1,y2 instead of storing them
+(reference torchlayers.py:55-82 via external revtorch).
+
+TPU-native equivalents, selectable per model via ``reversible_mode``:
+
+* ``"reversible"`` — a jax.custom_vjp chain that stores only the final
+  output per sequence; the bwd rule inverts each coupling block
+  (x2 = y2 - g(y1); x1 = y1 - f(x2)) and re-runs f/g under jax.vjp for
+  exact gradients. True O(depth)->O(1) activation scaling.
+* ``"remat"``    — jax.checkpoint around the sequence: idiomatic JAX
+  rematerialization (stores block inputs, recomputes insides).
+
+f and g are conv(3x3) + BatchNorm(batch stats in train) + ReLU on C/2
+channels, exactly the reference's coupling functions. BN makes the blocks
+state-carrying: in train mode stats come from the live batch (so the
+inverse is exact); EMA running stats are emitted as auxiliary outputs and
+folded into the ``batch_stats`` collection by the wrapping linen module.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from unet_zoo_tpu.ops import init as init_lib
+from unet_zoo_tpu.ops.conv import ConvBNAct, _dim_numbers
+
+BN_EPS = 1e-3
+
+
+def _fg_apply(p, x, *, train: bool, ema: Optional[Any] = None):
+    """conv3x3 + BN + ReLU coupling function. Returns (out, (mean, unbiased_var))."""
+    ndim = x.ndim - 2
+    y = lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=(1,) * ndim,
+        padding=[(1, 1)] * ndim,
+        dimension_numbers=_dim_numbers(ndim),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    y = y + p["bias"]
+    yf = y.astype(jnp.float32)
+    if train:
+        axes = tuple(range(y.ndim - 1))
+        mean = jnp.mean(yf, axis=axes)
+        var = jnp.maximum(jnp.mean(jnp.square(yf), axis=axes) - jnp.square(mean), 0.0)
+        n = y.size // y.shape[-1]
+        stats = (mean, var * (n / max(n - 1, 1)))
+    else:
+        mean, var = ema
+        stats = (mean, var)
+    out = (yf - mean) * lax.rsqrt(var + BN_EPS) * p["scale"] + p["shift"]
+    return jax.nn.relu(out).astype(x.dtype), stats
+
+
+def _chain_fwd_collect(params, x, train, ema_list):
+    """Plain forward through the coupling chain, collecting BN stats."""
+    stats_out = []
+    h = x
+    for i, blk in enumerate(params):
+        c = h.shape[-1] // 2
+        h1, h2 = h[..., :c], h[..., c:]
+        ema_f = ema_list[i]["f"] if ema_list is not None else None
+        ema_g = ema_list[i]["g"] if ema_list is not None else None
+        f_out, f_stats = _fg_apply(blk["f"], h2, train=train, ema=ema_f)
+        y1 = h1 + f_out
+        g_out, g_stats = _fg_apply(blk["g"], y1, train=train, ema=ema_g)
+        y2 = h2 + g_out
+        h = jnp.concatenate([y1, y2], axis=-1)
+        stats_out.append({"f": f_stats, "g": g_stats})
+    return h, stats_out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _rev_chain_train(params, x):
+    y, stats = _chain_fwd_collect(params, x, True, None)
+    return y, stats
+
+
+def _rev_chain_train_fwd(params, x):
+    y, stats = _chain_fwd_collect(params, x, True, None)
+    # Residuals: ONLY the output and params — no per-block activations.
+    return (y, stats), (params, y)
+
+
+def _rev_chain_train_bwd(res, cts):
+    params, y = res
+    gy, _ = cts  # stats cotangent is zero (non-differentiable path)
+    c = y.shape[-1] // 2
+    gy1, gy2 = gy[..., :c], gy[..., c:]
+    y1, y2 = y[..., :c], y[..., c:]
+
+    def fg_primal(p, h):
+        out, _ = _fg_apply(p, h, train=True)
+        return out
+
+    gparams = []
+    for blk in reversed(params):
+        # invert: x2 = y2 - g(y1); x1 = y1 - f(x2)
+        g_out, g_vjp = jax.vjp(fg_primal, blk["g"], y1)
+        x2 = y2 - g_out
+        f_out, f_vjp = jax.vjp(fg_primal, blk["f"], x2)
+        x1 = y1 - f_out
+
+        dgp, dy1_from_g = g_vjp(gy2)
+        gy1_eff = gy1 + dy1_from_g
+        dfp, dx2_from_f = f_vjp(gy1_eff)
+        gx2 = gy2 + dx2_from_f
+        gx1 = gy1_eff
+
+        gparams.append({"f": dfp, "g": dgp})
+        y1, y2 = x1, x2
+        gy1, gy2 = gx1, gx2
+
+    gx = jnp.concatenate([gy1, gy2], axis=-1)
+    return list(reversed(gparams)), gx
+
+
+_rev_chain_train.defvjp(_rev_chain_train_fwd, _rev_chain_train_bwd)
+
+
+class ReversibleSequence(nn.Module):
+    """Reference ``ReversibleSequence`` (torchlayers.py:55-82), TPU-native.
+
+    Optional 1x1 ConvBNAct to reach ``features`` channels, then ``depth``
+    additive-coupling blocks over a C/2 + C/2 channel split.
+
+    ``mode``: "reversible" (custom_vjp inverse reconstruction),
+    "remat" (jax.checkpoint), or "plain" (store everything).
+    """
+
+    features: int
+    depth: int = 3
+    mode: str = "reversible"
+    init_scheme: str = "torch_default"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if x.shape[-1] != self.features:
+            x = ConvBNAct(
+                self.features,
+                kernel_size=1,
+                init_scheme=self.init_scheme,
+                dtype=self.dtype,
+                name="initial_conv",
+            )(x, train=train)
+        assert self.features % 2 == 0, "reversible split needs even channels"
+        c = self.features // 2
+        ndim = x.ndim - 2
+
+        kernel_init, bias_init = init_lib.SCHEMES[self.init_scheme]
+        if bias_init is None:
+            bias_init = init_lib.torch_default_conv_bias(3**ndim * c)
+        kshape = (3,) * ndim + (c, c)
+
+        params = []
+        ema_vars = []
+        for i in range(self.depth):
+            blk_p, blk_v = {}, {}
+            for fg in ("f", "g"):
+                prefix = f"block{i}_{fg}"
+                blk_p[fg] = {
+                    "kernel": self.param(f"{prefix}_kernel", kernel_init, kshape, jnp.float32),
+                    "bias": self.param(f"{prefix}_bias", bias_init, (c,), jnp.float32),
+                    "scale": self.param(f"{prefix}_scale", nn.initializers.ones, (c,), jnp.float32),
+                    "shift": self.param(f"{prefix}_shift", nn.initializers.zeros, (c,), jnp.float32),
+                }
+                blk_v[fg] = (
+                    self.variable("batch_stats", f"{prefix}_mean", lambda: jnp.zeros((c,), jnp.float32)),
+                    self.variable("batch_stats", f"{prefix}_var", lambda: jnp.ones((c,), jnp.float32)),
+                )
+            params.append(blk_p)
+            ema_vars.append(blk_v)
+
+        if train:
+            if self.mode == "reversible" and not self.is_initializing():
+                y, stats = _rev_chain_train(params, x)
+            elif self.mode == "remat" and not self.is_initializing():
+                y, stats = jax.checkpoint(
+                    lambda p, h: _chain_fwd_collect(p, h, True, None)
+                )(params, x)
+            else:
+                y, stats = _chain_fwd_collect(params, x, True, None)
+            if not self.is_initializing():
+                m = 0.01  # torch momentum, matching BatchNorm default
+                for i in range(self.depth):
+                    for fg in ("f", "g"):
+                        mean_v, var_v = ema_vars[i][fg]
+                        bmean, bvar = stats[i][fg]
+                        mean_v.value = (1 - m) * mean_v.value + m * bmean
+                        var_v.value = (1 - m) * var_v.value + m * bvar
+        else:
+            ema = [
+                {fg: (ema_vars[i][fg][0].value, ema_vars[i][fg][1].value) for fg in ("f", "g")}
+                for i in range(self.depth)
+            ]
+            y, _ = _chain_fwd_collect(params, x, False, ema)
+        return y
