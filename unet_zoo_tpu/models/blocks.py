@@ -1,0 +1,82 @@
+"""Shared encoder/decoder building blocks (dimension-generic NHWC/NDHWC)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from unet_zoo_tpu import ops
+
+
+class DownBlock(nn.Module):
+    """U-Net contracting block: optional ceil-mode avg-pool, then 3 conv+ReLU
+    (NO BatchNorm — reference models/unet.py:24-31) or a reversible sequence.
+    """
+
+    features: int
+    pool: bool = True
+    depth: int = 3
+    reversible_mode: str = "plain"  # plain | remat | reversible
+    init_scheme: str = "he_normal"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.pool:
+            x = ops.avg_pool_ceil(x)
+        if self.reversible_mode in ("reversible", "remat"):
+            return ops.ReversibleSequence(
+                self.features,
+                depth=self.depth,
+                mode=self.reversible_mode,
+                init_scheme=self.init_scheme,
+                dtype=self.dtype,
+                name="rev",
+            )(x, train=train)
+        for i in range(self.depth):
+            x = ops.ConvBNAct(
+                self.features,
+                kernel_size=3,
+                norm=False,
+                init_scheme=self.init_scheme,
+                dtype=self.dtype,
+                name=f"conv{i}",
+            )(x, train=train)
+        return x
+
+
+class PhiDownBlock(nn.Module):
+    """PHiSeg contracting block: pool + depth×(conv+BN+ReLU) or reversible
+    (reference models/phiseg.py:14-39; 3D: models/phiseg3D.py:92-116).
+    """
+
+    features: int
+    pool: bool = True
+    depth: int = 3
+    reversible_mode: str = "plain"
+    rev_depth: int = 3  # 2D uses 3; the 3D model uses 1 (phiseg3D.py:105)
+    init_scheme: str = "torch_default"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.pool:
+            x = ops.avg_pool_ceil(x)
+        if self.reversible_mode in ("reversible", "remat"):
+            return ops.ReversibleSequence(
+                self.features,
+                depth=self.rev_depth,
+                mode=self.reversible_mode,
+                init_scheme=self.init_scheme,
+                dtype=self.dtype,
+                name="rev",
+            )(x, train=train)
+        return ops.ConvSeq(
+            self.features,
+            depth=self.depth,
+            init_scheme=self.init_scheme,
+            dtype=self.dtype,
+            name="convs",
+        )(x, train=train)

@@ -48,7 +48,7 @@ def avg_pool_ceil(x, window: int = 2, stride: int = 2):
     pads.append((0, 0))
 
     summed = lax.reduce_window(
-        x, jnp.zeros((), x.dtype), lax.add, window_dims, strides, tuple(pads)
+        x, np.zeros((), x.dtype), lax.add, window_dims, strides, tuple(pads)
     )
 
     # static 1/count normalization, separable across axes
