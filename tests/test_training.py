@@ -1,0 +1,293 @@
+"""Harness tests: experiment registry, plateau schedule, trainer end-to-end
+(train -> validate -> checkpoint -> restore -> test sweep) on synthetic data,
+and the CLI entry points."""
+
+import dataclasses
+import json
+import os
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_zoo_tpu.data import synthetic
+from unet_zoo_tpu.experiments import (
+    ExperimentConfig,
+    get_experiment,
+    list_experiments,
+    load_experiment,
+)
+from unet_zoo_tpu.training import (
+    Trainer,
+    plateau_init,
+    plateau_update,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+# ---------------------------------------------------------------------------
+# experiment registry
+# ---------------------------------------------------------------------------
+
+REFERENCE_EXPERIMENTS = [
+    # every runnable config shipped by the reference models/experiments/
+    "phiseg_7_5_12", "phiseg_7_5_24", "phiseg_7_5_36", "phiseg_7_5_48",
+    "phiseg_7_5_56",
+    "phiseg_rev_7_5_12", "phiseg_rev_7_5_24", "phiseg_rev_7_5_36",
+    "phiseg_rev_7_5_48", "phiseg_rev_7_5_56", "phiseg_rev_7_5_60",
+    "phiseg_rev_7_5_64",
+    "phiseg_big", "phiseg_big_reversible",
+    "phiseg_uzh_7_5_192", "phiseg_uzh_7_5_256", "phiseg_uzh_7_5_384",
+    "phiseg_uzh_7_5_512",
+    "phiseg_uzh_rev_7_5_192", "phiseg_uzh_rev_7_5_224",
+    "phiseg_uzh_rev_7_5_256", "phiseg_uzh_rev_7_5_384",
+    "phiseg_uzh_rev_7_5_512",
+    "prob_unet", "prob_unet_reversible", "unet", "reversible_unet",
+    "phiseg_brats",
+]
+
+
+def test_registry_covers_reference_experiments():
+    available = set(list_experiments())
+    missing = [e for e in REFERENCE_EXPERIMENTS if e not in available]
+    assert not missing, f"missing experiments: {missing}"
+
+
+@pytest.mark.parametrize("name", ["phiseg_7_5_12", "prob_unet", "unet",
+                                  "phiseg_uzh_rev_7_5_192", "phiseg_brats"])
+def test_experiment_configs_validate(name):
+    cfg = get_experiment(name)
+    assert cfg.experiment_name
+    kw = cfg.model_kwargs()
+    assert kw["num_classes"] == cfg.n_classes
+
+
+def test_experiment_hyperparams_match_reference():
+    cfg = get_experiment("phiseg_7_5_12")
+    assert cfg.filter_channels == (32, 64, 128, 192, 192, 192, 192)
+    assert cfg.latent_levels == 5 and cfg.batch_size == 12
+    assert cfg.validation_samples == 16 and cfg.num_validation_images == 100
+    rev = get_experiment("phiseg_rev_7_5_64")
+    assert rev.use_reversible and rev.batch_size == 64
+    pu = get_experiment("prob_unet")
+    assert pu.latent_dim == 6 and pu.no_convs_fcomb == 3
+    uzh = get_experiment("phiseg_uzh_7_5_192")
+    assert uzh.n_classes == 3 and uzh.num_labels_per_subject == 6
+    assert uzh.target_resolution == (0.625, 0.625)
+    brats = get_experiment("phiseg_brats")
+    assert brats.image_size == (128, 128, 128) and brats.batch_size == 1
+
+
+def test_load_experiment_from_file(tmp_path):
+    """File-per-experiment semantics (reference train_model.py:584)."""
+    path = tmp_path / "my_exp.py"
+    path.write_text(
+        "from unet_zoo_tpu.experiments import ExperimentConfig\n"
+        "config = ExperimentConfig(experiment_name='Mine', model='unet',\n"
+        "    filter_channels=(8, 16), image_size=(32, 32))\n"
+    )
+    cfg = load_experiment(str(path))
+    assert cfg.experiment_name == "Mine"
+
+
+# ---------------------------------------------------------------------------
+# plateau schedule
+# ---------------------------------------------------------------------------
+
+
+def test_plateau_reduces_after_patience():
+    s = plateau_init(1e-3)
+    s = plateau_update(s, 1.0, patience=3, factor=0.1, min_lr=1e-5)
+    for _ in range(3):
+        s = plateau_update(s, 1.0, patience=3, factor=0.1, min_lr=1e-5)
+    assert float(s.lr) == pytest.approx(1e-3)  # num_bad == patience, not yet
+    s = plateau_update(s, 1.0, patience=3, factor=0.1, min_lr=1e-5)
+    assert float(s.lr) == pytest.approx(1e-4)
+
+
+def test_plateau_improvement_resets():
+    s = plateau_init(1e-3)
+    s = plateau_update(s, 1.0, patience=2)
+    s = plateau_update(s, 1.1, patience=2)
+    s = plateau_update(s, 0.5, patience=2)  # improvement
+    assert int(s.num_bad) == 0 and float(s.best) == pytest.approx(0.5)
+
+
+def test_plateau_respects_min_lr():
+    s = plateau_init(1e-3)
+    for _ in range(50):
+        s = plateau_update(s, 1.0, patience=0, factor=0.1, min_lr=1e-4)
+    assert float(s.lr) == pytest.approx(1e-4)
+
+
+def test_plateau_is_jittable():
+    upd = jax.jit(lambda s, l: plateau_update(s, l, patience=1))
+    s = plateau_init(1e-3)
+    s = upd(s, jnp.asarray(1.0))
+    assert float(s.best) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# trainer end-to-end (small configs on synthetic LIDC)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_cfg(model: str, **kw) -> ExperimentConfig:
+    base = dict(
+        experiment_name=f"tiny_{model}",
+        model=model,
+        data_loader="lidc",
+        filter_channels=(4, 8, 8, 8) if model != "phiseg" else (4, 8, 8, 8, 8),
+        latent_levels=3,
+        zdim=2,
+        n_classes=2,
+        batch_size=2,
+        image_size=(32, 32),
+        validation_samples=3,
+        num_validation_images=2,
+        validation_frequency=10**9,
+        logging_frequency=10**9,
+        iterations=3,
+        data_seed=0,
+    )
+    base.update(kw)
+    return ExperimentConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def lidc32(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("lidc32")
+    return synthetic.synthetic_lidc(str(tmp), num_per_split=(8, 3, 3), size=32)
+
+
+@pytest.mark.parametrize("model", ["unet", "prob_unet", "phiseg"])
+def test_trainer_step_runs_and_descends(model, lidc32, tmp_path):
+    cfg = _tiny_cfg(model)
+    tr = Trainer(cfg, log_dir=str(tmp_path / model))
+    losses = []
+    for _ in range(8):
+        x, y = lidc32.train.next_batch(cfg.batch_size)
+        tr.state, aux = tr._train_step(tr.state, jnp.asarray(x), jnp.asarray(y))
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_trainer_validate_and_best_checkpoints(lidc32, tmp_path):
+    cfg = _tiny_cfg("phiseg")
+    tr = Trainer(cfg, log_dir=str(tmp_path / "v"))
+    agg = tr.validate(lidc32)
+    for k in ("ged", "ncc", "dice", "loss", "foreground_dice"):
+        assert np.isfinite(agg[k]), k
+    # first validation sets every best -> all four checkpoints exist
+    for name in ("best_dice", "best_loss", "best_ged", "best_ncc",
+                 "validation_ckpt"):
+        assert os.path.exists(tmp_path / "v" / name), name
+
+
+def test_trainer_train_loop_with_augmentation(lidc32, tmp_path):
+    from unet_zoo_tpu.data.augment import AugmentOptions
+
+    cfg = _tiny_cfg(
+        "unet",
+        augmentation_options=AugmentOptions(
+            do_rotations=True, do_fliplr=True, augment_every_nth=2, nlabels=2
+        ),
+        iterations=5,
+    )
+    tr = Trainer(cfg, log_dir=str(tmp_path / "aug"))
+    aux = tr.train(lidc32, validate=False)
+    assert np.isfinite(float(aux["loss"]))
+    assert int(tr.state.step) == 5
+
+
+def test_checkpoint_roundtrip_exact_resume(lidc32, tmp_path):
+    cfg = _tiny_cfg("unet")
+    tr = Trainer(cfg, log_dir=str(tmp_path / "ck"))
+    x, y = lidc32.train.next_batch(2)
+    tr.state, _ = tr._train_step(tr.state, jnp.asarray(x), jnp.asarray(y))
+    save_checkpoint(str(tmp_path / "ck" / "snap"), tr.state)
+    restored = restore_checkpoint(str(tmp_path / "ck" / "snap"), tr.state)
+    assert int(restored.step) == int(tr.state.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr.state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # stepping the restored state gives identical results to the original
+    x2, y2 = lidc32.train.next_batch(2)
+    s1, aux1 = tr._train_step(tr.state, jnp.asarray(x2), jnp.asarray(y2))
+    tr.state = restored
+    s2, aux2 = tr._train_step(tr.state, jnp.asarray(x2), jnp.asarray(y2))
+    assert float(aux1["loss"]) == pytest.approx(float(aux2["loss"]), rel=1e-6)
+
+
+def test_test_sweep_writes_npz(lidc32, tmp_path):
+    cfg = _tiny_cfg("phiseg")
+    log_dir = str(tmp_path / "t")
+    tr = Trainer(cfg, log_dir=log_dir)
+    tr.save_model("best_loss")
+    res = tr.test(lidc32, num_repeats=2, num_samples=3)
+    assert np.isfinite(res["ged"][0]) and np.isfinite(res["ncc"][0])
+    arrs = np.load(os.path.join(log_dir, "test_results.npz"))
+    assert arrs["ged"].shape == (2, 3)
+
+
+def test_generate_images_writes_pngs(lidc32, tmp_path):
+    cfg = _tiny_cfg("unet")
+    tr = Trainer(cfg, log_dir=str(tmp_path / "g"))
+    out = tr.generate_images(lidc32, num_samples=2, max_images=1)
+    files = os.listdir(out)
+    assert "img_0.png" in files and "sample_0_1.png" in files
+
+
+def test_pretrained_missing_file_falls_back(lidc32, tmp_path):
+    """Missing pretrained file -> fresh training (reference :63-67)."""
+    cfg = _tiny_cfg("unet", pretrained_model="nonexistent_ckpt")
+    tr = Trainer(cfg, log_dir=str(tmp_path / "p"))
+    assert int(tr.state.step) == 0
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def test_cli_train_on_synthetic(tmp_path, monkeypatch):
+    """Full CLI drive: experiment file + synthetic cache via sys-config."""
+    from unet_zoo_tpu.data.synthetic import make_lidc_cache
+    import unet_zoo_tpu.data.lidc as lidc_mod
+
+    cache = str(tmp_path / "preproc" / "data_lidc.hdf5")
+    os.makedirs(os.path.dirname(cache))
+    make_lidc_cache(cache, num_per_split=(6, 2, 2), size=32)
+
+    exp = tmp_path / "exp.py"
+    exp.write_text(
+        "from unet_zoo_tpu.experiments import ExperimentConfig\n"
+        "config = ExperimentConfig(experiment_name='CliTiny', model='unet',\n"
+        "    filter_channels=(4, 8), image_size=(32, 32), batch_size=2,\n"
+        "    iterations=2, validation_frequency=10**9,\n"
+        "    logging_frequency=10**9, num_validation_images=1,\n"
+        "    validation_samples=2)\n"
+    )
+    sys_cfg = tmp_path / "sys.json"
+    sys_cfg.write_text(
+        json.dumps(
+            {
+                "log_root": str(tmp_path / "logs"),
+                "data_root": "unused",
+                "preproc_folder": str(tmp_path / "preproc"),
+            }
+        )
+    )
+    from unet_zoo_tpu.training.cli import train_main
+
+    rc = train_main([str(exp), "--sys-config", str(sys_cfg)])
+    assert rc == 0
+    log_dir = tmp_path / "logs" / "lidc" / "CliTiny"
+    assert (log_dir / "last").exists()
+    assert (log_dir / "experiment.json").exists()
+    assert (log_dir / "exp.py").exists()  # provenance copy

@@ -1,0 +1,70 @@
+"""Device mesh + sharding helpers.
+
+The reference is strictly single-device (one `torch.device`, reference
+train_model.py:47; no torch.distributed anywhere — SURVEY.md §2.4). The TPU
+framework scales through a `jax.sharding.Mesh` instead:
+
+* axis "data"  — batch (data parallelism). Gradients all-reduce over ICI;
+  XLA inserts the psum from the sharding annotations (GSPMD), no explicit
+  collectives in model code.
+* axis "space" — optional spatial sharding of the image height dim, the
+  conv-world analog of sequence/context parallelism: XLA partitions convs
+  with automatic halo exchange, which is what makes 512² UZH and 128³ BraTS
+  configs fit and scale (SURVEY.md §5 "long-context" slot).
+
+Multi-host: call jax.distributed.initialize() before make_mesh; the mesh
+spans all global devices and DP rides DCN across hosts, space/ICI within.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    space: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """A ("data", "space") mesh over the first `n_devices` devices.
+
+    space=1 gives pure DP; space=k shards the image height k-ways.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    assert n_devices <= len(devices), (n_devices, len(devices))
+    assert n_devices % space == 0, (n_devices, space)
+    arr = np.asarray(devices[:n_devices]).reshape(n_devices // space, space)
+    return Mesh(arr, axis_names=("data", "space"))
+
+
+def batch_spec(mesh: Mesh, spatial_rank: int = 2) -> P:
+    """PartitionSpec for an (B, H, W[, D], C) batch on this mesh: batch over
+    "data", height over "space" (if used), rest replicated."""
+    if mesh.shape["space"] > 1:
+        return P("data", "space", *(None,) * spatial_rank)
+    return P("data", *(None,) * (spatial_rank + 1))
+
+
+def shard_batch(mesh: Mesh, x, spatial_rank: Optional[int] = None):
+    """Place a host batch onto the mesh with the batch/space sharding."""
+    if spatial_rank is None:
+        spatial_rank = x.ndim - 2
+    return jax.device_put(x, NamedSharding(mesh, batch_spec(mesh, spatial_rank)))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_label_spec(mesh: Mesh, label_rank: int) -> P:
+    """Labels: (B, *spatial) int or (B, *spatial, C) one-hot."""
+    if mesh.shape["space"] > 1:
+        return P("data", "space", *(None,) * max(0, label_rank - 2))
+    return P("data", *(None,) * max(0, label_rank - 1))

@@ -1,0 +1,131 @@
+"""Command-line entry points.
+
+Twin of the reference CLIs (reference train_model.py:567-615,
+test_model.py:18-56):
+
+    python train.py EXP [--local] [--iterations N] [--log-root DIR]
+    python eval.py  EXP [--local] [--checkpoint best_loss]
+
+EXP is a registry name (e.g. phiseg_7_5_12) or a path to a .py file
+defining ``config = ExperimentConfig(...)``. The experiment definition is
+copied into the log dir for provenance (reference train_model.py:586-590).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import shutil
+import sys
+
+from unet_zoo_tpu.experiments.config import (
+    ExperimentConfig,
+    SystemConfig,
+    load_experiment,
+)
+
+
+def setup_logger(log_dir: str) -> logging.Logger:
+    """Per-run file + console logging (reference utils.py:336-347)."""
+    os.makedirs(log_dir, exist_ok=True)
+    root = logging.getLogger()
+    root.setLevel(logging.INFO)
+    fmt = logging.Formatter("%(asctime)s %(name)s %(message)s")
+    fh = logging.FileHandler(os.path.join(log_dir, "run.log"))
+    fh.setFormatter(fmt)
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    root.addHandler(fh)
+    root.addHandler(sh)
+    return root
+
+
+def _load_sys_config(args) -> SystemConfig:
+    """--local mirrors the reference's LOCAL flag choosing the path config
+    (reference train_model.py:577-582). Paths come from a json file if
+    present, else defaults."""
+    path = args.sys_config or (
+        "config.local.json" if args.local else "config.json"
+    )
+    if os.path.exists(path):
+        with open(path) as f:
+            return SystemConfig(**json.load(f))
+    return SystemConfig()
+
+
+def _build_data(cfg: ExperimentConfig, sys_cfg: SystemConfig):
+    from unet_zoo_tpu.data.registry import data_switch
+
+    return data_switch(cfg.data_loader).from_config(sys_cfg, cfg)
+
+
+def _copy_provenance(exp: str, cfg: ExperimentConfig, log_dir: str):
+    os.makedirs(log_dir, exist_ok=True)
+    if os.path.exists(exp) and exp.endswith(".py"):
+        shutil.copy(exp, log_dir)  # reference train_model.py:590
+    with open(os.path.join(log_dir, "experiment.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+
+
+def train_main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Train a unet_zoo_tpu experiment")
+    p.add_argument("experiment", help="registry name or path to exp .py file")
+    p.add_argument("--local", action="store_true", help="use config.local.json")
+    p.add_argument("--sys-config", default=None, help="path config json")
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--log-root", default=None)
+    p.add_argument("--no-validate", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = load_experiment(args.experiment)
+    sys_cfg = _load_sys_config(args)
+    if args.log_root:
+        sys_cfg = dataclasses.replace(sys_cfg, log_root=args.log_root)
+    log_dir = os.path.join(sys_cfg.log_root, cfg.log_dir_name, cfg.experiment_name)
+    setup_logger(log_dir)
+    _copy_provenance(args.experiment, cfg, log_dir)
+
+    from unet_zoo_tpu.training.trainer import Trainer
+
+    trainer = Trainer(cfg, sys_cfg, log_dir=log_dir)
+    data = _build_data(cfg, sys_cfg)
+    trainer.train(data, iterations=args.iterations, validate=not args.no_validate)
+    trainer.save_model("last")  # reference train_model.py:615
+    return 0
+
+
+def eval_main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Evaluate a trained experiment")
+    p.add_argument("experiment")
+    p.add_argument("--local", action="store_true")
+    p.add_argument("--sys-config", default=None)
+    p.add_argument("--log-root", default=None)
+    p.add_argument("--checkpoint", default="best_loss")
+    p.add_argument("--num-repeats", type=int, default=10)
+    p.add_argument("--num-samples", type=int, default=10)
+    p.add_argument("--generate-images", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = load_experiment(args.experiment)
+    sys_cfg = _load_sys_config(args)
+    if args.log_root:
+        sys_cfg = dataclasses.replace(sys_cfg, log_root=args.log_root)
+    log_dir = os.path.join(sys_cfg.log_root, cfg.log_dir_name, cfg.experiment_name)
+    setup_logger(log_dir)
+
+    from unet_zoo_tpu.training.trainer import Trainer
+
+    trainer = Trainer(cfg, sys_cfg, log_dir=log_dir)
+    data = _build_data(cfg, sys_cfg)
+    trainer.test(
+        data,
+        num_repeats=args.num_repeats,
+        num_samples=args.num_samples,
+        checkpoint=args.checkpoint,
+    )
+    if args.generate_images:
+        trainer.generate_images(data)
+    return 0

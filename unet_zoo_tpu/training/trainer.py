@@ -1,0 +1,524 @@
+"""Training/validation/test harness.
+
+The TPU twin of the reference's ``UNetModel`` wrapper
+(reference train_model.py:27-564): iteration-based train loop, periodic
+multi-sample validation with GED / variance-NCC / per-label Dice,
+best-per-metric checkpointing, quantitative test sweep with npz artifacts,
+and PNG sample generation.
+
+TPU-first design:
+* ONE jitted step does augmentation + forward + loss + backward + Adam +
+  plateau-LR update on device (the reference round-trips the host for data,
+  cv2 augmentation and the scheduler every iteration,
+  train_model.py:100-134);
+* validation is one device program per image: the model's ``sample`` path
+  shares the encoder trunk across the 16 posterior samples and the
+  GED/NCC/Dice suite is computed on device (the reference repeats the whole
+  net over a 16-image batch and loops medpy on the CPU,
+  train_model.py:177-224);
+* optimizer: optax adamw(lr=1e-3, wd=1e-5) matching torch Adam semantics
+  (reference train_model.py:49), with ReduceLROnPlateau state threaded
+  through the step (reference :50-51,134 steps it per-iteration on train
+  loss — reproduced);
+* checkpoints carry the FULL state (params/opt/sched/step/rng) via orbax,
+  under the reference's naming scheme (validation_ckpt, best_dice,
+  best_loss, best_ged, best_ncc, last — train_model.py:144,256-271,615).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from unet_zoo_tpu import metrics as M
+from unet_zoo_tpu.data.augment import augment_batch_2d, augment_batch_3d
+from unet_zoo_tpu.experiments.config import ExperimentConfig, SystemConfig
+from unet_zoo_tpu.models.registry import get_model
+from unet_zoo_tpu.training.schedule import plateau_update
+from unet_zoo_tpu.training.state import (
+    TrainState,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+log = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        exp_config: ExperimentConfig,
+        sys_config: Optional[SystemConfig] = None,
+        log_dir: Optional[str] = None,
+        seed: Optional[int] = None,
+        mesh=None,
+    ):
+        """``mesh``: optional jax.sharding.Mesh from
+        unet_zoo_tpu.parallel.make_mesh — batch shards over its "data" axis
+        (and image height over "space"); params/opt state are replicated and
+        XLA inserts the gradient all-reduce (no reference counterpart,
+        SURVEY.md §2.4)."""
+        exp_config.validate()
+        self.cfg = exp_config
+        self.sys_config = sys_config or SystemConfig()
+        self.log_dir = log_dir or os.path.join(
+            self.sys_config.log_root,
+            exp_config.log_dir_name,
+            exp_config.experiment_name,
+        )
+        os.makedirs(self.log_dir, exist_ok=True)
+
+        self.model = get_model(exp_config.model, **exp_config.model_kwargs())
+        self.family = exp_config.model  # unet | prob_unet | phiseg | phiseg3d
+
+        self.tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=exp_config.learning_rate,
+            weight_decay=exp_config.weight_decay,
+        )
+
+        seed = exp_config.seed if seed is None else seed
+        root = jax.random.PRNGKey(seed)
+        k_params, k_z, k_state = jax.random.split(root, 3)
+        x0, y0 = self._dummy_batch()
+        init_rngs = {"params": k_params, "z": k_z}
+        if self.family == "unet":
+            variables = self.model.init(init_rngs, x0, train=True)
+        else:
+            variables = self.model.init(init_rngs, x0, y0, train=True)
+        self.state = TrainState.create(
+            variables, self.tx, exp_config.learning_rate, k_state
+        )
+        self.iteration = 0
+        self.best = {
+            "dice": -1.0,
+            "loss": float("inf"),
+            "ged": float("inf"),
+            "ncc": -1.0,
+        }
+        self.host_rng = np.random.default_rng(seed)
+        self.mesh = mesh
+        if mesh is None:
+            self._train_step = jax.jit(self._step_fn, donate_argnums=0)
+        else:
+            from unet_zoo_tpu.parallel.mesh import (
+                batch_spec,
+                replicated,
+                shard_label_spec,
+            )
+            from jax.sharding import NamedSharding
+
+            repl = replicated(mesh)
+            xs = NamedSharding(mesh, batch_spec(mesh, len(exp_config.image_size)))
+            label_rank = 1 + len(exp_config.image_size) + (
+                1 if (exp_config.model == "phiseg3d"
+                      and exp_config.data_loader == "brats") else 0
+            )
+            ys = NamedSharding(mesh, shard_label_spec(mesh, label_rank))
+            self.state = jax.device_put(self.state, repl)
+            self._train_step = jax.jit(
+                self._step_fn,
+                donate_argnums=0,
+                in_shardings=(repl, xs, ys),
+                out_shardings=(repl, repl),
+            )
+        self._val_cache: Dict[Any, Any] = {}
+
+        if exp_config.pretrained_model is not None:
+            path = os.path.join(self.log_dir, exp_config.pretrained_model)
+            if os.path.exists(path):
+                log.info("loading pretrained model %s", path)
+                self.state = restore_checkpoint(path, self.state)
+            else:
+                # missing-file fallback continues fresh (reference :63-67)
+                log.info("pretrained %s not found; training from scratch", path)
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+
+    def _dummy_batch(self):
+        cfg = self.cfg
+        x = jnp.zeros((1, *cfg.image_size, cfg.input_channels), jnp.float32)
+        if cfg.model == "phiseg3d" and cfg.data_loader == "brats":
+            y = jnp.zeros((1, *cfg.image_size, cfg.n_classes), jnp.float32)
+        else:
+            y = jnp.zeros((1, *cfg.image_size), jnp.int32)
+        return x, y
+
+    # ------------------------------------------------------------------
+    # the jitted train step
+    # ------------------------------------------------------------------
+
+    def _forward_loss(self, params, batch_stats, x, y, key):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        if self.family == "unet":
+            logits, mut = self.model.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+            loss, aux = self.model.loss(logits, y)
+        else:
+            out, mut = self.model.apply(
+                variables,
+                x,
+                y,
+                train=True,
+                rngs={"z": key},
+                mutable=["batch_stats"],
+            )
+            loss, aux = self.model.loss(out, y, params)
+        return loss, (aux, mut.get("batch_stats", {}))
+
+    def _step_fn(self, state: TrainState, x, y):
+        cfg = self.cfg
+        rng, k_aug, k_z = jax.random.split(state.rng, 3)
+
+        if cfg.augmentation_options is not None and not cfg.is_3d:
+            x, y = augment_batch_2d(k_aug, x, y, cfg.augmentation_options)
+        elif cfg.augmentation_options_3d is not None and cfg.is_3d:
+            x, y = augment_batch_3d(k_aug, x, y, cfg.augmentation_options_3d)
+
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            self._forward_loss, has_aux=True
+        )(state.params, state.batch_stats, x, y, k_z)
+
+        # plateau scheduler on the per-iteration train loss (reference :134)
+        sched = plateau_update(
+            state.sched,
+            loss,
+            factor=cfg.lr_plateau_factor,
+            patience=cfg.lr_plateau_patience,
+            min_lr=cfg.min_lr,
+        )
+        opt_state = state.opt_state
+        hyper = dict(opt_state.hyperparams)
+        hyper["learning_rate"] = sched.lr
+        opt_state = opt_state._replace(hyperparams=hyper)
+
+        updates, opt_state = self.tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            batch_stats=new_bs if new_bs else state.batch_stats,
+            opt_state=opt_state,
+            sched=sched,
+            step=state.step + 1,
+            rng=rng,
+        )
+        return new_state, aux
+
+    # ------------------------------------------------------------------
+    # train loop (reference train_model.py:94-136)
+    # ------------------------------------------------------------------
+
+    def train(self, data, iterations: Optional[int] = None, validate: bool = True):
+        cfg = self.cfg
+        n_iter = iterations if iterations is not None else cfg.iterations
+        log.info(
+            "starting training: filters=%s batch=%d",
+            cfg.filter_channels,
+            cfg.batch_size,
+        )
+        last_aux = None
+        for self.iteration in range(1, n_iter + 1):
+            x_b, y_b = data.train.next_batch(cfg.batch_size)
+            self.state, aux = self._train_step(
+                self.state, jnp.asarray(x_b), jnp.asarray(y_b)
+            )
+            last_aux = aux
+            if validate and self.iteration % cfg.validation_frequency == 0:
+                self.validate(data)
+            if self.iteration % cfg.logging_frequency == 0:
+                log.info(
+                    "iteration %d loss %.5f", self.iteration, float(aux["loss"])
+                )
+        log.info("finished training.")
+        return last_aux
+
+    # ------------------------------------------------------------------
+    # validation (reference train_model.py:138-275)
+    # ------------------------------------------------------------------
+
+    def _eval_image_fn(self, n_samples: int):
+        """Jitted: (variables, x (1,*S,C), y_all (A,*S), y_chosen (1,*S), key)
+        -> scalar metric dict. One device program per validation image."""
+        cfg = self.cfg
+        label_range = tuple(range(1, cfg.n_classes))
+
+        def fn(variables, x, y_all, y_chosen, key):
+            probs = self.model.apply(
+                variables,
+                x,
+                n_samples,
+                train=False,
+                method=self.model.sample,
+                rngs={"z": key},
+            )  # (1, n, *S, C) logits
+            probs = jax.nn.softmax(probs[0].astype(jnp.float32), axis=-1)
+            pred_labels = jnp.argmax(probs, axis=-1)  # (n, *S)
+            ged = M.generalised_energy_distance(
+                pred_labels,
+                y_all,
+                nlabels=cfg.n_classes - 1,
+                label_range=label_range,
+            )
+            gt_onehot = jax.nn.one_hot(y_all, cfg.n_classes, dtype=jnp.float32)
+            ncc = M.variance_ncc_dist(probs, gt_onehot)
+            mean_probs = jnp.mean(probs, axis=0)
+            mean_pred = jnp.argmax(mean_probs, axis=-1)
+            dice = M.dice_per_label(mean_pred, y_chosen[0], cfg.n_classes)
+            # eval-mode loss on the chosen-annotator mask (reference :189-192)
+            if self.family == "unet":
+                logits = self.model.apply(variables, x, train=False)
+                loss, aux = self.model.loss(logits, y_chosen)
+            else:
+                out = self.model.apply(
+                    variables, x, y_chosen, train=False, rngs={"z": key}
+                )
+                loss, aux = self.model.loss(out, y_chosen, variables["params"])
+            return {
+                "ged": ged,
+                "ncc": ncc,
+                "dice": dice,
+                "loss": loss,
+                "kl": aux["kl"],
+                "recon": aux["recon"],
+            }
+
+        return jax.jit(fn)
+
+    def validate(self, data):
+        cfg = self.cfg
+        t0 = time.time()
+        self.save_model("validation_ckpt")
+        self._log_memory()
+
+        n_val = (
+            data.validation.images.shape[0]
+            if cfg.num_validation_images == "all"
+            else min(cfg.num_validation_images, data.validation.images.shape[0])
+        )
+        key = ("eval", cfg.validation_samples)
+        if key not in self._val_cache:
+            self._val_cache[key] = self._eval_image_fn(cfg.validation_samples)
+        eval_fn = self._val_cache[key]
+
+        annotators = (
+            list(cfg.annotator_range)
+            if cfg.annotator_range is not None
+            else list(range(cfg.num_labels_per_subject))
+        )
+        variables = jax.device_put(self.state.variables)
+        results = []
+        for ii in range(n_val):
+            x = np.asarray(data.validation.images[ii], dtype=np.float32)
+            y_all = np.asarray(data.validation.labels[ii])  # (*S, A)
+            a = self.host_rng.choice(annotators)
+            y_chosen = y_all[..., a]
+            y_all_t = np.moveaxis(y_all, -1, 0)  # (A, *S)
+            out = eval_fn(
+                variables,
+                jnp.asarray(x)[None, ..., None],
+                jnp.asarray(y_all_t, dtype=jnp.int32),
+                jnp.asarray(y_chosen, dtype=jnp.int32)[None],
+                jax.random.fold_in(self.state.rng, ii),
+            )
+            results.append(jax.device_get(out))
+
+        agg = {
+            k: float(np.mean([r[k] for r in results]))
+            for k in ("ged", "ncc", "loss", "kl", "recon")
+        }
+        dice_arr = np.stack([r["dice"] for r in results])  # (n, C)
+        agg["dice"] = float(dice_arr.mean())
+        agg["foreground_dice"] = float(dice_arr[:, 1:].mean())
+        per_structure_dice = dice_arr.mean(axis=0)
+
+        log.info(
+            "validation @%d: dice %.4f fg-dice %.4f elbo %.4f ged %.4f ncc %.4f"
+            " (%.1fs)",
+            self.iteration,
+            agg["dice"],
+            agg["foreground_dice"],
+            agg["loss"],
+            agg["ged"],
+            agg["ncc"],
+            time.time() - t0,
+        )
+
+        # best-per-metric checkpointing (reference train_model.py:256-271)
+        mean_dice = float(per_structure_dice.mean())
+        if mean_dice >= self.best["dice"]:
+            self.best["dice"] = mean_dice
+            self.save_model("best_dice")
+        if agg["loss"] <= self.best["loss"]:
+            self.best["loss"] = agg["loss"]
+            self.save_model("best_loss")
+        if agg["ged"] <= self.best["ged"]:
+            self.best["ged"] = agg["ged"]
+            self.save_model("best_ged")
+        if agg["ncc"] >= self.best["ncc"]:
+            self.best["ncc"] = agg["ncc"]
+            self.save_model("best_ncc")
+        return agg
+
+    # ------------------------------------------------------------------
+    # test sweep (reference train_model.py:333-475)
+    # ------------------------------------------------------------------
+
+    def test(
+        self,
+        data,
+        num_repeats: int = 10,
+        num_samples: int = 10,
+        checkpoint: Optional[str] = "best_loss",
+        save_npz: bool = True,
+    ):
+        """The quantitative protocol: `num_repeats` sweeps over the test set,
+        `num_samples` prior samples each; dumps raw GED/NCC tensors to npz."""
+        cfg = self.cfg
+        if checkpoint is not None:
+            path = os.path.join(self.log_dir, checkpoint)
+            if os.path.exists(path):
+                self.state = restore_checkpoint(path, self.state)
+            else:
+                raise FileNotFoundError(
+                    f"checkpoint '{checkpoint}' not found in {self.log_dir}"
+                )
+        key = ("eval", num_samples)
+        if key not in self._val_cache:
+            self._val_cache[key] = self._eval_image_fn(num_samples)
+        eval_fn = self._val_cache[key]
+
+        annotators = (
+            list(cfg.annotator_range)
+            if cfg.annotator_range is not None
+            else list(range(cfg.num_labels_per_subject))
+        )
+        n_images = data.test.images.shape[0]
+        variables = jax.device_put(self.state.variables)
+        ged_mat = np.zeros((num_repeats, n_images))
+        ncc_mat = np.zeros((num_repeats, n_images))
+        dice_mat = np.zeros((num_repeats, n_images, cfg.n_classes))
+        t0 = time.time()
+        for rep in range(num_repeats):
+            for ii in range(n_images):
+                x = np.asarray(data.test.images[ii], dtype=np.float32)
+                y_all = np.asarray(data.test.labels[ii])
+                a = self.host_rng.choice(annotators)
+                out = eval_fn(
+                    variables,
+                    jnp.asarray(x)[None, ..., None],
+                    jnp.asarray(np.moveaxis(y_all, -1, 0), dtype=jnp.int32),
+                    jnp.asarray(y_all[..., a], dtype=jnp.int32)[None],
+                    jax.random.fold_in(self.state.rng, rep * n_images + ii),
+                )
+                out = jax.device_get(out)
+                ged_mat[rep, ii] = out["ged"]
+                ncc_mat[rep, ii] = out["ncc"]
+                dice_mat[rep, ii] = out["dice"]
+        results = {
+            "ged": (float(ged_mat.mean()), float(ged_mat.std())),
+            "ncc": (float(ncc_mat.mean()), float(ncc_mat.std())),
+            "dice": (float(dice_mat.mean()), float(dice_mat.std())),
+            "seconds": time.time() - t0,
+        }
+        log.info(
+            "test: GED %.4f±%.4f NCC %.4f±%.4f Dice %.4f±%.4f",
+            *results["ged"],
+            *results["ncc"],
+            *results["dice"],
+        )
+        if save_npz:
+            np.savez(
+                os.path.join(self.log_dir, "test_results.npz"),
+                ged=ged_mat,
+                ncc=ncc_mat,
+                dice=dice_mat,
+            )
+        return results
+
+    # ------------------------------------------------------------------
+    # image generation (reference train_model.py:477-555)
+    # ------------------------------------------------------------------
+
+    def generate_images(
+        self, data, num_samples: int = 10, out_dir: Optional[str] = None,
+        max_images: Optional[int] = 10,
+    ):
+        from PIL import Image
+
+        out_dir = out_dir or os.path.join(self.log_dir, "samples")
+        os.makedirs(out_dir, exist_ok=True)
+        cfg = self.cfg
+        variables = jax.device_put(self.state.variables)
+        sample_fn = jax.jit(
+            partial(self.model.apply, train=False, method=self.model.sample),
+            static_argnums=(2,),  # the sample count sets a vmap axis size
+        )
+        n = data.test.images.shape[0]
+        if max_images is not None:
+            n = min(n, max_images)
+
+        def to_png(arr, path):
+            arr = np.asarray(arr, dtype=np.float32)
+            lo, hi = arr.min(), arr.max()
+            arr = (arr - lo) / max(hi - lo, 1e-8)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(path)
+
+        for ii in range(n):
+            x = np.asarray(data.test.images[ii], dtype=np.float32)
+            logits = sample_fn(
+                variables,
+                jnp.asarray(x)[None, ..., None],
+                num_samples,
+                rngs={"z": jax.random.fold_in(self.state.rng, ii)},
+            )
+            preds = np.asarray(jnp.argmax(logits[0], axis=-1))  # (n, *S)
+            to_png(x, os.path.join(out_dir, f"img_{ii}.png"))
+            gt = np.asarray(data.test.labels[ii])
+            to_png(gt[..., 0], os.path.join(out_dir, f"gt_{ii}.png"))
+            for s in range(num_samples):
+                to_png(preds[s], os.path.join(out_dir, f"sample_{ii}_{s}.png"))
+        log.info("wrote sample PNGs to %s", out_dir)
+        return out_dir
+
+    # ------------------------------------------------------------------
+    # checkpointing / observability
+    # ------------------------------------------------------------------
+
+    def save_model(self, savename: str):
+        save_checkpoint(os.path.join(self.log_dir, savename), self.state)
+        with open(os.path.join(self.log_dir, "best_metrics.json"), "w") as f:
+            json.dump({"iteration": self.iteration, **self.best}, f)
+
+    def restore(self, savename: str):
+        self.state = restore_checkpoint(
+            os.path.join(self.log_dir, savename), self.state
+        )
+
+    def _log_memory(self):
+        """Peak device memory — the paper's headline metric (README.md:4);
+        the reference logs torch.cuda.max_memory_allocated each validation
+        (train_model.py:145-148)."""
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and "peak_bytes_in_use" in stats:
+                log.info(
+                    "device peak memory: %.1f MiB",
+                    stats["peak_bytes_in_use"] / 2**20,
+                )
+                return stats["peak_bytes_in_use"]
+        except Exception:  # CPU backend has no memory_stats
+            pass
+        return None
