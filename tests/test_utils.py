@@ -1,0 +1,69 @@
+"""Utility tests: metrics writer, post-processing, l2 reg."""
+
+import json
+import os
+
+import numpy as np
+
+from unet_zoo_tpu.utils import (
+    MetricsWriter,
+    convert_to_onehot,
+    keep_largest_connected_components,
+    l2_regularisation,
+    map_image_to_intensity_range,
+    normalise_image,
+)
+
+
+def test_metrics_writer_jsonl(tmp_path):
+    w = MetricsWriter(str(tmp_path), "train", tensorboard=False)
+    w.scalars(10, {"loss": 1.5})
+    w.scalars(20, {"loss": 1.0, "kl": 0.2})
+    w.close()
+    lines = [
+        json.loads(l)
+        for l in open(tmp_path / "metrics_train.jsonl").read().splitlines()
+    ]
+    assert lines[0]["step"] == 10 and lines[0]["loss"] == 1.5
+    assert lines[1]["kl"] == 0.2
+
+
+def test_metrics_writer_tensorboard(tmp_path):
+    w = MetricsWriter(str(tmp_path), "val", tensorboard=True)
+    w.scalars(1, {"dice": 0.8})
+    w.image(1, "img", np.zeros((8, 8)))
+    w.close()
+    assert os.path.isdir(tmp_path / "tb_val")
+
+
+def test_map_intensity_range():
+    img = np.array([0.0, 5.0, 10.0])
+    out = map_image_to_intensity_range(img, -1.0, 1.0)
+    np.testing.assert_allclose(out, [-1.0, 0.0, 1.0])
+
+
+def test_normalise_image():
+    img = np.random.default_rng(0).uniform(5, 10, (16, 16))
+    out = normalise_image(img)
+    assert abs(out.mean()) < 1e-5 and abs(out.std() - 1) < 1e-4
+
+
+def test_keep_largest_cc():
+    mask = np.zeros((10, 10), dtype=np.uint8)
+    mask[0:2, 0:2] = 1  # small component
+    mask[5:9, 5:9] = 1  # large component
+    mask[0, 9] = 2  # only component for label 2
+    out = keep_largest_connected_components(mask)
+    assert out[0, 0] == 0 and out[6, 6] == 1 and out[0, 9] == 2
+
+
+def test_convert_to_onehot():
+    lbl = np.array([[0, 2]])
+    oh = convert_to_onehot(lbl, 3)
+    assert oh.shape == (1, 2, 3)
+    np.testing.assert_array_equal(oh[0, 1], [0, 0, 1])
+
+
+def test_l2_regularisation_is_norm_not_squared():
+    params = {"w": np.array([3.0, 4.0])}  # ||w|| = 5
+    assert float(l2_regularisation(params)) == 5.0

@@ -194,6 +194,53 @@ def load_and_maybe_process_data(
     return h5py.File(path, "r")
 
 
+class _BratsSplit:
+    """Provider-style view of one split: `next_batch` with the same
+    without-replacement semantics as BatchProvider, plus raw `.images` /
+    `.labels` access for evaluation loops."""
+
+    def __init__(self, parent: "BratsData", mode: str):
+        self._parent = parent
+        self._mode = mode
+        n = parent.num_examples(mode)
+        self._indices = np.arange(n)
+        self._unused = self._indices.copy()
+
+    @property
+    def images(self):
+        return self._parent.data[f"images_{self._mode}"]
+
+    @property
+    def labels(self):
+        return self._parent.data[f"masks_{self._mode}"]
+
+    def next_batch(self, batch_size: int):
+        rng = self._parent.rng
+        if len(self._unused) < batch_size:
+            self._unused = self._indices
+        picks = rng.choice(self._unused, batch_size, replace=False)
+        self._unused = np.setdiff1d(self._unused, picks)
+        items = [self._parent.get(int(i), self._mode) for i in np.sort(picks)]
+        return (
+            np.stack([it[0] for it in items]),
+            np.stack([it[1] for it in items]),
+        )
+
+    def iterate_batches(self, batch_size: int, shuffle: bool = True):
+        idx = self._indices.copy()
+        if shuffle:
+            self._parent.rng.shuffle(idx)
+        for b in range(0, len(idx), batch_size):
+            items = [
+                self._parent.get(int(i), self._mode)
+                for i in np.sort(idx[b : b + batch_size])
+            ]
+            yield (
+                np.stack([it[0] for it in items]),
+                np.stack([it[1] for it in items]),
+            )
+
+
 class BratsData:
     """Volume-level access with lazy HDF5 reads and evaluation one-hot,
     the TPU twin of the torch BratsDataset (reference bratsDataset.py:9-141).
@@ -210,6 +257,9 @@ class BratsData:
         self.data = data_file
         self.random_crop = random_crop
         self.rng = np.random.default_rng(seed)
+        self.train = _BratsSplit(self, "train")
+        self.validation = _BratsSplit(self, "validation")
+        self.test = _BratsSplit(self, "test")
 
     def num_examples(self, mode: str = "train") -> int:
         return self.data[f"images_{mode}"].shape[0]

@@ -61,6 +61,7 @@ class Trainer:
         log_dir: Optional[str] = None,
         seed: Optional[int] = None,
         mesh=None,
+        tensorboard: bool = True,
     ):
         """``mesh``: optional jax.sharding.Mesh from
         unet_zoo_tpu.parallel.make_mesh — batch shards over its "data" axis
@@ -131,6 +132,17 @@ class Trainer:
                 out_shardings=(repl, repl),
             )
         self._val_cache: Dict[Any, Any] = {}
+
+        # metrics stream pair (reference SummaryWriter pair,
+        # train_model.py:89-91); JSONL always, TB events when available
+        from unet_zoo_tpu.utils.summary import MetricsWriter
+
+        self.training_writer = MetricsWriter(
+            self.log_dir, "train", tensorboard=tensorboard
+        )
+        self.validation_writer = MetricsWriter(
+            self.log_dir, "validation", tensorboard=tensorboard
+        )
 
         if exp_config.pretrained_model is not None:
             path = os.path.join(self.log_dir, exp_config.pretrained_model)
@@ -242,6 +254,15 @@ class Trainer:
                 log.info(
                     "iteration %d loss %.5f", self.iteration, float(aux["loss"])
                 )
+                self.training_writer.scalars(
+                    self.iteration,
+                    {
+                        "loss": float(aux["loss"]),
+                        "kl": float(aux["kl"]),
+                        "recon": float(aux["recon"]),
+                        "lr": float(self.state.sched.lr),
+                    },
+                )
         log.info("finished training.")
         return last_aux
 
@@ -299,6 +320,8 @@ class Trainer:
 
     def validate(self, data):
         cfg = self.cfg
+        if cfg.is_3d and cfg.data_loader == "brats":
+            return self.validate_brats(data)
         t0 = time.time()
         self.save_model("validation_ckpt")
         self._log_memory()
@@ -370,6 +393,89 @@ class Trainer:
         if agg["ncc"] >= self.best["ncc"]:
             self.best["ncc"] = agg["ncc"]
             self.save_model("best_ncc")
+        self.validation_writer.scalars(self.iteration, agg)
+        return agg
+
+    def _eval_volume_fn(self, n_samples: int):
+        """BraTS eval: per-region (WT/TC/ET) dice of the mean prediction +
+        eval-mode loss. The reference's BraTS trainer is vestigial/broken
+        (train_model.py:277-297 calls a nonexistent loss method); this is the
+        working equivalent using the bratsUtils metrics
+        (reference data/bratsUtils.py:6-93)."""
+
+        def fn(variables, x, y_onehot, key):
+            logits = self.model.apply(
+                variables,
+                x,
+                n_samples,
+                train=False,
+                method=self.model.sample,
+                rngs={"z": key},
+            )  # (1, n, D, H, W, C)
+            probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
+            mean_probs = jnp.mean(probs, axis=0)
+            dice = jnp.stack(
+                [
+                    M.dice_binary(mean_probs[..., c] > 0.5, y_onehot[0, ..., c])
+                    for c in range(y_onehot.shape[-1])
+                ]
+            )
+            out = self.model.apply(
+                variables, x, y_onehot, train=False, rngs={"z": key}
+            )
+            loss, aux = self.model.loss(out, y_onehot, variables["params"])
+            return {"dice": dice, "loss": loss, "kl": aux["kl"],
+                    "recon": aux["recon"]}
+
+        return jax.jit(fn)
+
+    def validate_brats(self, data):
+        cfg = self.cfg
+        t0 = time.time()
+        self.save_model("validation_ckpt")
+        self._log_memory()
+        n_val = (
+            data.validation.images.shape[0]
+            if cfg.num_validation_images == "all"
+            else min(cfg.num_validation_images, data.validation.images.shape[0])
+        )
+        key = ("brats", cfg.validation_samples)
+        if key not in self._val_cache:
+            self._val_cache[key] = self._eval_volume_fn(cfg.validation_samples)
+        eval_fn = self._val_cache[key]
+        variables = jax.device_put(self.state.variables)
+        results = []
+        for ii in range(n_val):
+            img, lbl, _pid = data.get(ii, "validation")
+            out = eval_fn(
+                variables,
+                jnp.asarray(img)[None],
+                jnp.asarray(lbl)[None],
+                jax.random.fold_in(self.state.rng, ii),
+            )
+            results.append(jax.device_get(out))
+        dice_arr = np.stack([r["dice"] for r in results])  # (n, 3) WT/TC/ET
+        agg = {
+            "loss": float(np.mean([r["loss"] for r in results])),
+            "kl": float(np.mean([r["kl"] for r in results])),
+            "recon": float(np.mean([r["recon"] for r in results])),
+            "dice": float(dice_arr.mean()),
+            "dice_wt": float(dice_arr[:, 0].mean()),
+            "dice_tc": float(dice_arr[:, 1].mean()),
+            "dice_et": float(dice_arr[:, 2].mean()),
+        }
+        log.info(
+            "brats validation @%d: dice WT %.4f TC %.4f ET %.4f loss %.4f (%.1fs)",
+            self.iteration, agg["dice_wt"], agg["dice_tc"], agg["dice_et"],
+            agg["loss"], time.time() - t0,
+        )
+        if agg["dice"] >= self.best["dice"]:
+            self.best["dice"] = agg["dice"]
+            self.save_model("best_dice")
+        if agg["loss"] <= self.best["loss"]:
+            self.best["loss"] = agg["loss"]
+            self.save_model("best_loss")
+        self.validation_writer.scalars(self.iteration, agg)
         return agg
 
     # ------------------------------------------------------------------

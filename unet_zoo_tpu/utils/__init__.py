@@ -1,5 +1,24 @@
-"""Misc utilities: NIfTI I/O, logging setup."""
+"""Misc utilities: NIfTI I/O, metrics writers, post-processing."""
 
 from unet_zoo_tpu.utils.nii import load_nii, save_nii
+from unet_zoo_tpu.utils.summary import MetricsWriter
+from unet_zoo_tpu.utils.postprocess import (
+    convert_to_onehot,
+    keep_largest_connected_components,
+    l2_regularisation,
+    map_image_to_intensity_range,
+    normalise_image,
+    normalise_images,
+)
 
-__all__ = ["load_nii", "save_nii"]
+__all__ = [
+    "load_nii",
+    "save_nii",
+    "MetricsWriter",
+    "convert_to_onehot",
+    "keep_largest_connected_components",
+    "l2_regularisation",
+    "map_image_to_intensity_range",
+    "normalise_image",
+    "normalise_images",
+]
