@@ -1,0 +1,104 @@
+"""Native batch store tests: build, roundtrip, parallel gather, prefetch
+pipeline, provider semantics, and a gather-vs-numpy consistency fuzz."""
+
+import numpy as np
+import pytest
+
+from unet_zoo_tpu.native import (
+    BatchStore,
+    NativeBatchProvider,
+    Prefetcher,
+    native_available,
+    write_store,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable"
+)
+
+
+def _store(tmp_path, arr, name="a.bin", nthreads=4):
+    path = str(tmp_path / name)
+    write_store(path, arr)
+    return BatchStore(path, arr.dtype, nthreads=nthreads)
+
+
+def test_roundtrip_gather(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.standard_normal((20, 8, 8)).astype(np.float32)
+    s = _store(tmp_path, arr)
+    assert s.shape == (20, 8, 8) and s.num_records == 20
+    got = s.gather([3, 7, 19, 0])
+    np.testing.assert_array_equal(got, arr[[3, 7, 19, 0]])
+    s.close()
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.float32, np.float64, np.int16])
+def test_dtypes(tmp_path, dtype):
+    rng = np.random.default_rng(1)
+    arr = (rng.uniform(0, 100, (10, 4, 4))).astype(dtype)
+    s = _store(tmp_path, arr, name=f"d_{np.dtype(dtype).name}.bin")
+    np.testing.assert_array_equal(s.gather([0, 9]), arr[[0, 9]])
+    s.close()
+
+
+def test_gather_fuzz_many_threads(tmp_path):
+    rng = np.random.default_rng(2)
+    arr = rng.standard_normal((100, 16, 16, 4)).astype(np.float32)
+    s = _store(tmp_path, arr, nthreads=8)
+    for _ in range(10):
+        idx = rng.integers(0, 100, size=32)
+        np.testing.assert_array_equal(s.gather(idx), arr[idx])
+    s.close()
+
+
+def test_prefetcher_pipeline_order(tmp_path):
+    arr = np.arange(50, dtype=np.float32).reshape(50, 1)
+    s = _store(tmp_path, arr)
+    p = Prefetcher(s, batch_size=4, depth=3)
+    batches = [[0, 1, 2, 3], [10, 11, 12, 13], [40, 41, 42, 43], [7, 8, 9, 10]]
+    for b in batches:
+        p.submit(b)
+    for b in batches:  # FIFO order preserved
+        got = p.wait()
+        np.testing.assert_array_equal(got[:, 0], np.asarray(b, np.float32))
+    p.close()
+    s.close()
+
+
+def test_prefetcher_buffer_valid_until_next_wait(tmp_path):
+    arr = np.arange(100, dtype=np.float32).reshape(100, 1)
+    s = _store(tmp_path, arr)
+    p = Prefetcher(s, batch_size=2, depth=2)
+    for i in range(6):
+        p.submit([i, i + 1])
+    prev = None
+    for i in range(6):
+        got = p.wait()
+        np.testing.assert_array_equal(got[:, 0], [i, i + 1])
+        prev = got.copy()
+    p.close()
+    s.close()
+
+
+def test_native_provider_semantics(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 16
+    X = rng.standard_normal((n, 8, 8)).astype(np.float32)
+    y = rng.integers(0, 2, (n, 8, 8, 4)).astype(np.uint8)
+    xs = _store(tmp_path, X, "x.bin")
+    ys = _store(tmp_path, y, "y.bin")
+    bp = NativeBatchProvider(
+        xs, ys, np.arange(n), batch_size=4,
+        num_labels_per_subject=4, rng=np.random.default_rng(0),
+    )
+    seen = set()
+    for _ in range(4):  # one full epoch without replacement
+        xb, yb = bp.next_batch()
+        assert xb.shape == (4, 8, 8, 1) and yb.shape == (4, 8, 8)
+        for row in xb[..., 0]:
+            matches = np.where((np.abs(X - row).sum(axis=(1, 2))) < 1e-6)[0]
+            assert len(matches) == 1
+            seen.add(int(matches[0]))
+    assert len(seen) >= n - 4  # one batch may be in-flight across the epoch edge
+    bp.close()
