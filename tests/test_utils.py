@@ -67,3 +67,25 @@ def test_convert_to_onehot():
 def test_l2_regularisation_is_norm_not_squared():
     params = {"w": np.array([3.0, 4.0])}  # ||w|| = 5
     assert float(l2_regularisation(params)) == 5.0
+
+
+def test_step_memory_analysis():
+    import jax.numpy as jnp
+    from unet_zoo_tpu.utils import step_memory_analysis
+
+    m = step_memory_analysis(lambda x: jnp.sum(x * 2), jnp.ones((64, 64)))
+    assert m["argument_bytes"] >= 64 * 64 * 4
+    assert m["peak_bytes"] >= m["argument_bytes"]
+
+
+def test_rescale_range_provider():
+    import numpy as np
+    from unet_zoo_tpu.data import BatchProvider
+
+    X = np.random.default_rng(0).uniform(10, 20, (6, 8, 8)).astype(np.float32)
+    y = np.zeros((6, 8, 8), np.uint8)
+    bp = BatchProvider(X, y, np.arange(6), rescale_range=(-1.0, 1.0),
+                       rng=np.random.default_rng(0))
+    xb, _ = bp.next_batch(3)
+    assert xb.min() >= -1.0 - 1e-5 and xb.max() <= 1.0 + 1e-5
+    assert abs(xb.min() + 1.0) < 1e-4 and abs(xb.max() - 1.0) < 1e-4

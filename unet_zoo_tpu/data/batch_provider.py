@@ -71,6 +71,8 @@ class BatchProvider:
         annotator_range: Optional[Sequence[int]] = None,
         resize_to: Optional[Sequence[int]] = None,
         normalise: bool = False,
+        rescale_range: Optional[Sequence[float]] = None,
+        rescale_rgb: bool = False,
         rng: Optional[np.random.Generator] = None,
     ):
         self.X = X
@@ -85,7 +87,10 @@ class BatchProvider:
             else list(range(num_labels_per_subject))
         )
         self.resize_to = resize_to
-        self.normalise = normalise
+        # reference: normalise unless rescale_range given (batch_provider.py:41)
+        self.normalise = normalise and rescale_range is None
+        self.rescale_range = rescale_range
+        self.rescale_rgb = rescale_rgb
         self.rng = rng if rng is not None else np.random.default_rng()
 
     # -- reference API -------------------------------------------------
@@ -136,6 +141,20 @@ class BatchProvider:
                 y_batch = resize_batch(y_batch, self.resize_to)
         if self.normalise:
             X_batch = normalise_images(X_batch)
+        if self.rescale_rgb:
+            # uint8 RGB -> [-1, 1] (reference batch_provider.py:120-121)
+            X_batch = X_batch.astype(np.float32) / 127.5 - 1.0
+        if self.rescale_range is not None:
+            # map to [lo, hi] per image (reference batch_provider.py:123-124)
+            from unet_zoo_tpu.utils.postprocess import map_image_to_intensity_range
+
+            lo, hi = self.rescale_range
+            X_batch = np.stack(
+                [
+                    map_image_to_intensity_range(X_batch[i], lo, hi)
+                    for i in range(X_batch.shape[0])
+                ]
+            )
         if self.add_dummy_dimension:
             X_batch = np.expand_dims(X_batch, axis=-1)  # NHWC (TPU layout)
         return X_batch, y_batch.astype(np.int32)

@@ -24,9 +24,16 @@ class DownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        """``x`` may be a tuple (implicit channel concat — see ops.Conv):
+        the up-path passes (upsampled, skip) directly, avoiding the
+        materialized concat."""
+        is_multi = isinstance(x, (tuple, list))
         if self.pool:
+            assert not is_multi
             x = ops.avg_pool_ceil(x)
         if self.reversible_mode in ("reversible", "remat"):
+            if is_multi:  # reversible sequences need one tensor
+                x = jnp.concatenate(x, axis=-1)
             return ops.ReversibleSequence(
                 self.features,
                 depth=self.depth,

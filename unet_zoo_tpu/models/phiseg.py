@@ -55,14 +55,20 @@ class _SampleZ(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if isinstance(x, (tuple, list)):
+            feats = sum(p.shape[-1] for p in x)
+            if self.reversible_mode in ("reversible", "remat"):
+                x = jnp.concatenate(x, axis=-1)
+        else:
+            feats = x.shape[-1]
         if self.reversible_mode in ("reversible", "remat"):
             x = ops.ReversibleSequence(
-                x.shape[-1], depth=self.rev_depth, mode=self.reversible_mode,
+                feats, depth=self.rev_depth, mode=self.reversible_mode,
                 dtype=self.dtype, name="rev",
             )(x, train=train)
         else:
             x = ops.ConvSeq(
-                x.shape[-1], depth=self.depth, dtype=self.dtype, name="convs"
+                feats, depth=self.depth, dtype=self.dtype, name="convs"
             )(x, train=train)
         mu = ops.Conv(self.zdim, kernel_size=1, name="mu")(x)
         sigma = jax.nn.softplus(
@@ -93,7 +99,9 @@ class _PhiUpBlock(nn.Module):
                 x, train=train
             )
         assert x.shape[1:-1] == bridge.shape[1:-1], (x.shape, bridge.shape)
-        return jnp.concatenate([x, bridge], axis=-1)
+        # implicit concat (ops.Conv tuple input): consumed by the next
+        # SampleZ/ConvSeq without materializing the concatenated tensor
+        return (x, bridge)
 
 
 class _PhiEncoder(nn.Module):
@@ -257,9 +265,11 @@ class _PhiLikelihood(nn.Module):
         post_c[L - 1] = post_z[L - 1]
         for i in range(L - 2, -1, -1):
             ups = ops.upsample_linear(post_c[i + 1], 2, align_corners=True)
-            post_c[i] = self.post_c_path[i](
-                jnp.concatenate([post_z[i], ups], axis=-1), train=train
-            )
+            if self.reversible_mode in ("reversible", "remat"):
+                h = jnp.concatenate([post_z[i], ups], axis=-1)
+            else:
+                h = (post_z[i], ups)  # tuple = implicit concat (ops.Conv)
+            post_c[i] = self.post_c_path[i](h, train=train)
 
         s = [None] * L
         spatial = tuple(self.image_size)

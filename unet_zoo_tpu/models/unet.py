@@ -50,14 +50,15 @@ class UNet(nn.Module):
 
         for i in range(n - 2, -1, -1):
             x = ops.upsample_linear(x, 2, align_corners=False)
-            x = jnp.concatenate([x, skips[i]], axis=-1)
+            # (x, skip) tuple = implicit concat (ops.Conv) — identical math,
+            # no materialized concat/layout copy on TPU
             x = DownBlock(
                 self.num_filters[i],
                 pool=False,
                 reversible_mode=self.reversible_mode,
                 dtype=self.dtype,
                 name=f"up{i}",
-            )(x, train=train)
+            )((x, skips[i]), train=train)
 
         if self.apply_last_layer:
             x = ops.Conv(

@@ -41,6 +41,14 @@ class Conv(nn.Module):
 
     ``init_scheme`` is one of: 'he_normal' (reference utils.init_weights),
     'orthogonal' (Fcomb), 'torch_default' (PHiSeg un-initialized layers).
+
+    ``x`` may be a TUPLE of tensors — an *implicit channel concat*:
+    conv(concat(a, b), K) is computed as conv(a, K[..., :Ca, :]) +
+    conv(b, K[..., Ca:, :]). Mathematically identical (same parameter
+    tensor, same init), but skips materializing the concatenated array —
+    on TPU the skip-concats otherwise force whole-tensor layout copies
+    between the producers' and the conv's preferred layouts (measured
+    ~24% of U-Net forward time at LIDC bench shapes).
     """
 
     features: int
@@ -52,28 +60,36 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        ndim = x.ndim - 2  # spatial dims
+        parts = list(x) if isinstance(x, (tuple, list)) else [x]
+        ndim = parts[0].ndim - 2  # spatial dims
         ks = _kernel_tuple(self.kernel_size, ndim)
         # torch rule in the reference: kernel 3 -> padding 1, else 0.
         pad = tuple((k // 2, k // 2) if k == 3 else (0, 0) for k in ks)
 
-        kernel_shape = ks + (x.shape[-1], self.features)
-        fan_in = int(np.prod(ks)) * x.shape[-1]
+        cin = sum(p.shape[-1] for p in parts)
+        kernel_shape = ks + (cin, self.features)
+        fan_in = int(np.prod(ks)) * cin
 
         kernel_init, bias_init = init_lib.SCHEMES[self.init_scheme]
         if bias_init is None:  # torch default bias
             bias_init = init_lib.torch_default_conv_bias(fan_in)
 
         kernel = self.param("kernel", kernel_init, kernel_shape, jnp.float32)
-        dtype = self.dtype or x.dtype
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(self.strides,) * ndim,
-            padding=pad,
-            dimension_numbers=_dim_numbers(ndim),
-            preferred_element_type=jnp.float32,
-        )
+        dtype = self.dtype or parts[0].dtype
+        y = None
+        off = 0
+        for p in parts:
+            kp = kernel[..., off : off + p.shape[-1], :]
+            yc = lax.conv_general_dilated(
+                p.astype(dtype),
+                kp.astype(dtype),
+                window_strides=(self.strides,) * ndim,
+                padding=pad,
+                dimension_numbers=_dim_numbers(ndim),
+                preferred_element_type=jnp.float32,
+            )
+            y = yc if y is None else y + yc
+            off += p.shape[-1]
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,), jnp.float32)
             y = y + bias

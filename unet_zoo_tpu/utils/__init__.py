@@ -2,6 +2,11 @@
 
 from unet_zoo_tpu.utils.nii import load_nii, save_nii
 from unet_zoo_tpu.utils.summary import MetricsWriter
+from unet_zoo_tpu.utils.profiling import (
+    device_memory_stats,
+    step_memory_analysis,
+    trace,
+)
 from unet_zoo_tpu.utils.postprocess import (
     convert_to_onehot,
     keep_largest_connected_components,
@@ -15,6 +20,9 @@ __all__ = [
     "load_nii",
     "save_nii",
     "MetricsWriter",
+    "trace",
+    "device_memory_stats",
+    "step_memory_analysis",
     "convert_to_onehot",
     "keep_largest_connected_components",
     "l2_regularisation",
