@@ -23,6 +23,9 @@ import jax.numpy as jnp
 
 
 def measure_unet_fwd(batch: int = 512, n_iters: int = 16) -> float:
+    """Steady-state device throughput: n_iters distinct batches fed through
+    an in-program scan (the steady state of a pipelined input feed), timed
+    over repeated fully-fenced calls."""
     from unet_zoo_tpu.models.registry import get_model
 
     model = get_model(
@@ -32,23 +35,26 @@ def measure_unet_fwd(batch: int = 512, n_iters: int = 16) -> float:
         dtype=jnp.bfloat16,
     )
     key = jax.random.PRNGKey(0)
-    xs = [
-        jax.random.normal(jax.random.PRNGKey(i), (batch, 128, 128, 1), jnp.float32)
-        for i in range(n_iters + 2)
-    ]
+    xs = jax.random.normal(key, (n_iters, batch, 128, 128, 1), jnp.float32)
     variables = model.init({"params": key}, xs[0], train=False)
 
     @jax.jit
-    def fwd_sum(v, x):
-        return jnp.sum(model.apply(v, x, train=False).astype(jnp.float32))
+    def fwd_many(v, xs):
+        def body(acc, x):
+            logits = model.apply(v, x, train=False)
+            return acc + jnp.sum(logits.astype(jnp.float32)), None
 
-    float(fwd_sum(variables, xs[0]))  # compile
-    float(fwd_sum(variables, xs[1]))  # warm
-    t0 = time.perf_counter()
-    vals = [fwd_sum(variables, xs[i + 2]) for i in range(n_iters)]
-    for v in vals:
-        float(v)  # force full execution
-    dt = time.perf_counter() - t0
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), xs)
+        return acc
+
+    float(fwd_many(variables, xs))  # compile
+    float(fwd_many(variables, xs))  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fwd_many(variables, xs))  # value fetch fences execution
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     return batch * n_iters / dt
 
 
