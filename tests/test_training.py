@@ -291,3 +291,22 @@ def test_cli_train_on_synthetic(tmp_path, monkeypatch):
     assert (log_dir / "last").exists()
     assert (log_dir / "experiment.json").exists()
     assert (log_dir / "exp.py").exists()  # provenance copy
+
+
+@pytest.mark.parametrize("model", ["unet", "phiseg"])
+def test_bf16_training_step(model, lidc32, tmp_path):
+    """bf16 compute path must be differentiable (regression: f32
+    preferred_element_type on convs broke the backward cotangent dtype)."""
+    cfg = _tiny_cfg(model, dtype="bfloat16")
+    tr = Trainer(cfg, log_dir=str(tmp_path / f"bf16_{model}"))
+    x, y = lidc32.train.next_batch(cfg.batch_size)
+    tr.state, aux = tr._train_step(tr.state, jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(float(aux["loss"]))
+
+
+def test_bf16_reversible_training_step(lidc32, tmp_path):
+    cfg = _tiny_cfg("phiseg", dtype="bfloat16", use_reversible=True)
+    tr = Trainer(cfg, log_dir=str(tmp_path / "bf16rev"))
+    x, y = lidc32.train.next_batch(cfg.batch_size)
+    tr.state, aux = tr._train_step(tr.state, jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(float(aux["loss"]))

@@ -80,19 +80,22 @@ class Conv(nn.Module):
         off = 0
         for p in parts:
             kp = kernel[..., off : off + p.shape[-1], :]
+            # NOTE: no preferred_element_type=f32 — the MXU accumulates in
+            # f32 internally regardless, and an f32 output makes the conv's
+            # backward cotangent f32 against bf16 operands (a dtype error
+            # under grad). The bias add below runs in f32.
             yc = lax.conv_general_dilated(
                 p.astype(dtype),
                 kp.astype(dtype),
                 window_strides=(self.strides,) * ndim,
                 padding=pad,
                 dimension_numbers=_dim_numbers(ndim),
-                preferred_element_type=jnp.float32,
             )
             y = yc if y is None else y + yc
             off += p.shape[-1]
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,), jnp.float32)
-            y = y + bias
+            y = y.astype(jnp.float32) + bias
         return y.astype(dtype)
 
 

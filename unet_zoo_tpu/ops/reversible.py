@@ -42,13 +42,14 @@ BN_EPS = 1e-3
 def _fg_apply(p, x, *, train: bool, ema: Optional[Any] = None):
     """conv3x3 + BN + ReLU coupling function. Returns (out, (mean, unbiased_var))."""
     ndim = x.ndim - 2
+    # no preferred_element_type: f32 output would make the backward
+    # cotangent dtype mismatch bf16 operands (see ops/conv.py note)
     y = lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),
         window_strides=(1,) * ndim,
         padding=[(1, 1)] * ndim,
         dimension_numbers=_dim_numbers(ndim),
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     y = y + p["bias"]
     yf = y.astype(jnp.float32)
@@ -65,20 +66,33 @@ def _fg_apply(p, x, *, train: bool, ema: Optional[Any] = None):
     return jax.nn.relu(out).astype(x.dtype), stats
 
 
-def _chain_fwd_collect(params, x, train, ema_list):
-    """Plain forward through the coupling chain, collecting BN stats."""
+def _chain_fwd_collect(params, x, train, ema_list, per_block_remat=False):
+    """Plain forward through the coupling chain, collecting BN stats.
+
+    ``per_block_remat``: jax.checkpoint each coupling block, so the backward
+    stores only the block-boundary activations and recomputes f/g internals
+    (the idiomatic-JAX memory lever; a single checkpoint around the whole
+    chain would NOT reduce the backward peak — the recompute materializes
+    every activation again simultaneously)."""
     stats_out = []
     h = x
-    for i, blk in enumerate(params):
+
+    def one_block(blk, h, ema_f, ema_g):
         c = h.shape[-1] // 2
         h1, h2 = h[..., :c], h[..., c:]
-        ema_f = ema_list[i]["f"] if ema_list is not None else None
-        ema_g = ema_list[i]["g"] if ema_list is not None else None
         f_out, f_stats = _fg_apply(blk["f"], h2, train=train, ema=ema_f)
         y1 = h1 + f_out
         g_out, g_stats = _fg_apply(blk["g"], y1, train=train, ema=ema_g)
         y2 = h2 + g_out
-        h = jnp.concatenate([y1, y2], axis=-1)
+        return jnp.concatenate([y1, y2], axis=-1), (f_stats, g_stats)
+
+    if per_block_remat:
+        one_block = jax.checkpoint(one_block)
+
+    for i, blk in enumerate(params):
+        ema_f = ema_list[i]["f"] if ema_list is not None else None
+        ema_g = ema_list[i]["g"] if ema_list is not None else None
+        h, (f_stats, g_stats) = one_block(blk, h, ema_f, ema_g)
         stats_out.append({"f": f_stats, "g": g_stats})
     return h, stats_out
 
@@ -149,14 +163,21 @@ class ReversibleSequence(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if isinstance(x, (tuple, list)):
+            x = jnp.concatenate(x, axis=-1)
         if x.shape[-1] != self.features:
-            x = ConvBNAct(
+            # remat the channel-matching 1x1: otherwise its pre-BN
+            # activations are stored for backward and erase the memory the
+            # coupling blocks save (measured: depth<=2 reversible blocks
+            # cost MORE than plain without this)
+            InitConv = nn.remat(ConvBNAct, static_argnums=(2,))
+            x = InitConv(
                 self.features,
                 kernel_size=1,
                 init_scheme=self.init_scheme,
                 dtype=self.dtype,
                 name="initial_conv",
-            )(x, train=train)
+            )(x, train)
         assert self.features % 2 == 0, "reversible split needs even channels"
         c = self.features // 2
         ndim = x.ndim - 2
@@ -189,9 +210,9 @@ class ReversibleSequence(nn.Module):
             if self.mode == "reversible" and not self.is_initializing():
                 y, stats = _rev_chain_train(params, x)
             elif self.mode == "remat" and not self.is_initializing():
-                y, stats = jax.checkpoint(
-                    lambda p, h: _chain_fwd_collect(p, h, True, None)
-                )(params, x)
+                y, stats = _chain_fwd_collect(
+                    params, x, True, None, per_block_remat=True
+                )
             else:
                 y, stats = _chain_fwd_collect(params, x, True, None)
             if not self.is_initializing():
