@@ -125,3 +125,24 @@ def test_brats_data_class_over_prepared(tmp_path):
     if data.train.images.shape[0]:
         img, lbl, pid = data.get(0, "train")
         assert img.shape == (16, 16, 16, 4) and lbl.shape == (16, 16, 16, 3)
+
+
+def test_brats_reassembly_roundtrip():
+    """crop_volume_all_dim + crop_or_pad + reassemble == identity on the
+    cropped region."""
+    from unet_zoo_tpu.data.brats import (
+        crop_or_pad_volume, crop_volume_all_dim, reassemble_to_original,
+    )
+
+    rng = np.random.default_rng(0)
+    orig = np.zeros((30, 26, 22, 1), np.float32)
+    orig[5:20, 4:22, 3:19, :] = rng.uniform(1, 5, (15, 18, 16, 1))
+    cropped, (lo, hi) = crop_volume_all_dim(orig)
+    grid = crop_or_pad_volume(cropped, (16, 16, 16), channels=1)
+    back = reassemble_to_original(grid, orig.shape[:3], lo, hi)
+    # the part of the original that survived crop/pad must round-trip
+    inner = tuple(
+        slice(l + max(0, (h - l - 16)) // 2, l + max(0, (h - l - 16)) // 2 + min(16, h - l))
+        for l, h in zip(lo, hi)
+    )
+    np.testing.assert_allclose(back[inner], orig[inner])

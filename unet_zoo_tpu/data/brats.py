@@ -109,6 +109,34 @@ def to_evaluation_onehot(labels: np.ndarray) -> np.ndarray:
     return out
 
 
+def reassemble_to_original(
+    pred: np.ndarray,
+    original_shape: Tuple[int, int, int],
+    crop_lo: Tuple[int, int, int],
+    crop_hi: Tuple[int, int, int],
+) -> np.ndarray:
+    """Place a prediction on the preprocessed (nonzero-cropped +
+    centre-crop/padded) grid back into the original volume — the inverse of
+    crop_volume_all_dim + crop_or_pad_volume, using the offsets the
+    validation-set preprocessing records (reference
+    brats18_validation_data_loader.py:24-51 keeps xOffsets/yOffsets/zOffsets
+    for exactly this reassembly)."""
+    out_shape = tuple(original_shape) + pred.shape[3:]
+    out = np.zeros(out_shape, dtype=pred.dtype)
+    src_sl, dst_sl = [], []
+    for t, lo, hi in zip(pred.shape[:3], crop_lo, crop_hi):
+        s = hi - lo
+        d = abs(t - s) // 2
+        if s <= t:  # prediction grid was padded; take its centre
+            src_sl.append(slice(d, d + s))
+            dst_sl.append(slice(lo, lo + s))
+        else:  # cropped region was larger; prediction covers the centre
+            src_sl.append(slice(0, t))
+            dst_sl.append(slice(lo + d, lo + d + t))
+    out[tuple(dst_sl)] = pred[tuple(src_sl)]
+    return out
+
+
 def prepare_data(
     input_folder: str,
     output_file: str,

@@ -7,6 +7,7 @@ over "space" (XLA halo exchange for convs).
 
 from unet_zoo_tpu.parallel.mesh import (
     batch_spec,
+    init_distributed,
     make_mesh,
     replicated,
     shard_batch,
@@ -14,6 +15,7 @@ from unet_zoo_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "batch_spec",
     "shard_batch",

@@ -25,6 +25,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: call once per host BEFORE make_mesh; after it,
+    jax.devices() spans all hosts, DP rides DCN between hosts and ICI
+    within (SURVEY.md §5 distributed slot). No-ops on single-process runs
+    and when already initialized."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     space: int = 1,
