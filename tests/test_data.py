@@ -302,3 +302,68 @@ def test_nii_roundtrip(tmp_path, gz, dtype):
     data, affine, header = load_nii(path)
     np.testing.assert_array_equal(data, vol)
     assert header.structarr["pixdim"][1] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# host-side (cv2) augmentation
+# ---------------------------------------------------------------------------
+
+
+def test_host_augmentation_matches_semantics():
+    from unet_zoo_tpu.data.augment_host import (
+        augment_batch_host,
+        host_augmentation_available,
+    )
+
+    if not host_augmentation_available():
+        pytest.skip("cv2 unavailable")
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((6, 32, 32, 1)).astype(np.float32)
+    lbls = rng.integers(0, 2, (6, 32, 32)).astype(np.int32)
+    opts = AugmentOptions(
+        do_rotations=True, do_scaleaug=True, do_elasticaug=True,
+        do_fliplr=True, do_flipud=True, augment_every_nth=1, nlabels=2,
+    )
+    out_i, out_l = augment_batch_host(imgs, lbls, opts, np.random.default_rng(1))
+    assert out_i.shape == imgs.shape and out_l.shape == lbls.shape
+    assert set(np.unique(out_l)).issubset({0, 1})
+    assert not np.allclose(out_i, imgs)  # something actually happened
+
+
+def test_prefetching_loader_over_provider():
+    from unet_zoo_tpu.data.augment_host import (
+        PrefetchingLoader,
+        host_augmentation_available,
+    )
+
+    if not host_augmentation_available():
+        pytest.skip("cv2 unavailable")
+    bp, _ = _provider(n=20, size=16)
+    loader = PrefetchingLoader(
+        bp, batch_size=4,
+        opts=AugmentOptions(do_fliplr=True, nlabels=2),
+        rng=np.random.default_rng(0),
+    )
+    for _ in range(5):
+        xb, yb = loader.next_batch()
+        assert xb.shape == (4, 16, 16, 1) and yb.shape == (4, 16, 16)
+    loader.close()
+
+
+def test_trainer_host_augmentation_path(tmp_path):
+    from unet_zoo_tpu.data import synthetic
+    from unet_zoo_tpu.experiments import ExperimentConfig
+    from unet_zoo_tpu.training import Trainer
+
+    data = synthetic.synthetic_lidc(str(tmp_path), num_per_split=(8, 2, 2), size=32)
+    cfg = ExperimentConfig(
+        experiment_name="hostaug", model="unet", filter_channels=(4, 8),
+        n_classes=2, batch_size=2, image_size=(32, 32), iterations=3,
+        augment_on="host",
+        augmentation_options=AugmentOptions(do_rotations=True, do_fliplr=True, nlabels=2),
+        validation_frequency=10**9, logging_frequency=10**9,
+    )
+    tr = Trainer(cfg, log_dir=str(tmp_path / "h"), tensorboard=False)
+    aux = tr.train(data, validate=False)
+    assert np.isfinite(float(aux["loss"]))
+    assert int(tr.state.step) == 3

@@ -231,8 +231,20 @@ def _augment_one_2d(key, img_hwc, lbl_hw, opts: AugmentOptions):
         )
         coords = _apply_rotation(coords, angle, (nh, nw))
 
-    img_out = _gather_bilinear(img_hwc, coords)
-    lbl_out = _warp_label(lbl_hw, coords, opts.nlabels, opts.label_interp)
+    if opts.label_interp == "onehot_linear" and opts.nlabels <= 4:
+        # pack image + one-hot label channels into ONE gather pass: TPU
+        # gathers are the augmentation bottleneck, and image + label share
+        # the exact same sample coordinates
+        oh = jax.nn.one_hot(lbl_hw.astype(jnp.int32), opts.nlabels, dtype=jnp.float32)
+        stacked = jnp.concatenate([img_hwc.astype(jnp.float32), oh], axis=-1)
+        warped = _gather_bilinear(stacked, coords)
+        img_out = warped[..., : img_hwc.shape[-1]].astype(img_hwc.dtype)
+        lbl_out = jnp.argmax(warped[..., img_hwc.shape[-1] :], axis=-1).astype(
+            lbl_hw.dtype
+        )
+    else:
+        img_out = _gather_bilinear(img_hwc, coords)
+        lbl_out = _warp_label(lbl_hw, coords, opts.nlabels, opts.label_interp)
     return img_out, lbl_out
 
 

@@ -67,6 +67,11 @@ class ExperimentConfig:
     target_resolution: Optional[Tuple[float, ...]] = None
     augmentation_options: Optional[AugmentOptions] = None
     augmentation_options_3d: Optional[Augment3DOptions] = None
+    # "device": warps inside the jitted step (no host dependency);
+    # "host": the reference's cv2 chain on a thread pool, overlapped with
+    # device compute via PrefetchingLoader (faster on TPU — device gathers
+    # are expensive)
+    augment_on: str = "device"
     data_seed: Optional[int] = 0
 
     # optimization (reference hardcodes these in the harness,

@@ -195,10 +195,11 @@ class Trainer:
         cfg = self.cfg
         rng, k_aug, k_z = jax.random.split(state.rng, 3)
 
-        if cfg.augmentation_options is not None and not cfg.is_3d:
-            x, y = augment_batch_2d(k_aug, x, y, cfg.augmentation_options)
-        elif cfg.augmentation_options_3d is not None and cfg.is_3d:
-            x, y = augment_batch_3d(k_aug, x, y, cfg.augmentation_options_3d)
+        if cfg.augment_on == "device":
+            if cfg.augmentation_options is not None and not cfg.is_3d:
+                x, y = augment_batch_2d(k_aug, x, y, cfg.augmentation_options)
+            elif cfg.augmentation_options_3d is not None and cfg.is_3d:
+                x, y = augment_batch_3d(k_aug, x, y, cfg.augmentation_options_3d)
 
         (loss, (aux, new_bs)), grads = jax.value_and_grad(
             self._forward_loss, has_aux=True
@@ -241,15 +242,29 @@ class Trainer:
             cfg.filter_channels,
             cfg.batch_size,
         )
+        train_source = data.train
+        loader = None
+        if cfg.augment_on == "host" and cfg.augmentation_options is not None:
+            from unet_zoo_tpu.data.augment_host import PrefetchingLoader
+
+            loader = PrefetchingLoader(
+                data.train,
+                cfg.batch_size,
+                opts=cfg.augmentation_options,
+                rng=self.host_rng,
+            )
+            train_source = loader
         last_aux = None
         for self.iteration in range(1, n_iter + 1):
-            x_b, y_b = data.train.next_batch(cfg.batch_size)
+            x_b, y_b = train_source.next_batch(cfg.batch_size)
             self.state, aux = self._train_step(
                 self.state, jnp.asarray(x_b), jnp.asarray(y_b)
             )
             last_aux = aux
             if validate and self.iteration % cfg.validation_frequency == 0:
                 self.validate(data)
+            if loader is not None and self.iteration == n_iter:
+                loader.close()
             if self.iteration % cfg.logging_frequency == 0:
                 log.info(
                     "iteration %d loss %.5f", self.iteration, float(aux["loss"])
