@@ -279,3 +279,41 @@ class TestPHiSeg:
         assert out["s_list"][0].shape == (1, 16, 16, 16, 3)
         loss, aux = m.apply({"params": vs["params"]}, out, y_onehot, method=PHiSeg.loss)
         assert np.isfinite(float(loss))
+
+
+# ---------------------------------------------------------------------------
+# odd / non-power-of-two pyramids (capability superset: the reference's fixed
+# scale_factor=2 upsampling asserts out on these, phiseg.py:66-70)
+# ---------------------------------------------------------------------------
+
+
+def test_phiseg_odd_resolution_forward_and_loss():
+    import jax
+    import jax.numpy as jnp
+    from unet_zoo_tpu.models.phiseg import PHiSeg
+
+    model = PHiSeg(
+        num_classes=2, num_filters=(2, 2, 2, 2, 2, 2, 2), latent_levels=5,
+        image_size=(56, 56),  # chain 56,28,14,7,4,2,1 — odd at level 3
+    )
+    x = jnp.zeros((1, 56, 56, 1), jnp.float32)
+    y = jnp.zeros((1, 56, 56), jnp.int32)
+    k = jax.random.PRNGKey(0)
+    variables = model.init({"params": k, "z": k}, x, y, train=True)
+    out, _ = model.apply(variables, x, y, train=True, rngs={"z": k},
+                         mutable=["batch_stats"])
+    assert out["s_list"][0].shape == (1, 56, 56, 2)
+    loss, aux = model.loss(out, y)
+    assert np.isfinite(float(loss))
+
+
+def test_unet_odd_nonsquare_forward():
+    import jax
+    import jax.numpy as jnp
+    from unet_zoo_tpu.models.unet import UNet
+
+    model = UNet(num_classes=2, num_filters=(4, 8, 8))
+    x = jnp.zeros((2, 36, 28, 1), jnp.float32)  # 36->18->9 (odd), 28->14->7
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 36, 28, 2)

@@ -136,11 +136,14 @@ class ExperimentConfig:
         if self.model in ("phiseg", "phiseg3d"):
             assert self.latent_levels <= len(self.filter_channels)
         assert self.dtype in ("float32", "bfloat16")
+        # any spatial size works: pooling is ceil-mode and every upsample
+        # resizes to the exact skip shape (unlike the reference's fixed
+        # scale_factor=2, which breaks on non-power-of-two pyramids); just
+        # require the coarsest level to be nonempty
+        levels = len(self.filter_channels)
         for s in self.image_size:
-            # 7-level nets need the spatial size divisible by 2^(levels-1)
-            levels = len(self.filter_channels)
-            assert s % (2 ** min(levels - 1, 5)) == 0 or self.model == "unet", (
-                f"image size {s} incompatible with {levels} resolution levels"
+            assert -(-s // (2 ** (levels - 1))) >= 1 and s >= 2 ** (levels - 1), (
+                f"image size {s} too small for {levels} resolution levels"
             )
 
 

@@ -88,7 +88,13 @@ class _PhiUpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, z, bridge, train: bool = True):
-        x = ops.upsample_linear(z.astype(bridge.dtype), 2, align_corners=True)
+        # resize to the bridge's exact spatial shape: equals x2 upsampling on
+        # power-of-two sizes, and makes odd pyramids (224^2: ...7 -> ceil 4,
+        # where the reference's fixed scale_factor=2 asserts out,
+        # phiseg.py:66-70) actually work
+        x = ops.resize_linear(
+            z.astype(bridge.dtype), bridge.shape[1:-1], align_corners=True
+        )
         if self.reversible_mode in ("reversible", "remat"):
             x = ops.ReversibleSequence(
                 self.features, depth=self.rev_depth, mode=self.reversible_mode,
@@ -252,19 +258,33 @@ class _PhiLikelihood(nn.Module):
 
     def __call__(self, z_list, train: bool = True):
         L = self.latent_levels
+        R = len(self.num_filters)
+        lvl_diff = R - L
+        # ceil-halving chain of spatial sizes per resolution level — resize
+        # targets match the encoder's ceil-mode pooling exactly, so odd
+        # pyramids (e.g. 224^2) decode correctly (the reference's fixed
+        # scale_factor=2 only works on power-of-two sizes, phiseg.py:209-221)
+        chain = [tuple(self.image_size)]
+        for _ in range(R - 1):
+            chain.append(tuple(-(-s // 2) for s in chain[-1]))
+
         post_z: List[Any] = [None] * L
         for j in range(L):
             lvl = L - 1 - j
             h = self.embeds[j](z_list[lvl].astype(self.dtype or jnp.float32), train=train)
-            for stage in self.post_ups[j]:
-                h = ops.upsample_linear(h, 2, align_corners=True)
+            for t, stage in enumerate(self.post_ups[j]):
+                h = ops.resize_linear(
+                    h, chain[lvl + lvl_diff - 1 - t], align_corners=True
+                )
                 h = stage(h, train=train)
             post_z[lvl] = h
 
         post_c: List[Any] = [None] * L
         post_c[L - 1] = post_z[L - 1]
         for i in range(L - 2, -1, -1):
-            ups = ops.upsample_linear(post_c[i + 1], 2, align_corners=True)
+            ups = ops.resize_linear(
+                post_c[i + 1], post_z[i].shape[1:-1], align_corners=True
+            )
             if self.reversible_mode in ("reversible", "remat"):
                 h = jnp.concatenate([post_z[i], ups], axis=-1)
             else:

@@ -49,7 +49,10 @@ class UNet(nn.Module):
                 skips.append(x)
 
         for i in range(n - 2, -1, -1):
-            x = ops.upsample_linear(x, 2, align_corners=False)
+            # resize to the skip's exact spatial shape (== x2 on power-of-two
+            # sizes; handles odd pyramids the reference's scale_factor=2
+            # cannot, models/unet.py:67,71)
+            x = ops.resize_linear(x, skips[i].shape[1:-1], align_corners=False)
             # (x, skip) tuple = implicit concat (ops.Conv) — identical math,
             # no materialized concat/layout copy on TPU
             x = DownBlock(
