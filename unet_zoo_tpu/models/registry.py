@@ -7,7 +7,7 @@ from typing import Any, Dict
 
 from unet_zoo_tpu.models.unet import UNet
 from unet_zoo_tpu.models.prob_unet import ProbUNet
-from unet_zoo_tpu.models.phiseg import PHiSeg, REV_DEPTHS_2D, REV_DEPTHS_3D
+from unet_zoo_tpu.models.phiseg import PHiSeg, REV_DEPTHS_3D
 
 
 def _phiseg3d(**kw):

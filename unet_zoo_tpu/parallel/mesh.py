@@ -18,7 +18,7 @@ spans all global devices and DP rides DCN across hosts, space/ICI within.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
