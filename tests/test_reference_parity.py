@@ -724,3 +724,179 @@ def test_phiseg_loss_parity(phiseg_pair, ref):
     assert float(aux["kl"]) == pytest.approx(float(kl), rel=1e-4)
     assert float(aux["recon"]) == pytest.approx(float(recon), rel=1e-4)
     assert float(loss_j) == pytest.approx(float(want), rel=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# PHiSeg3D (volumetric) — transplant parity for the 3D twins
+# ---------------------------------------------------------------------------
+
+
+def t2j_conv3d(conv):
+    return {
+        "kernel": conv.weight.detach().numpy().transpose(2, 3, 4, 1, 0),
+        "bias": conv.bias.detach().numpy(),
+    }
+
+
+def t2j_conv3d_unit(unit, rng=None):
+    import torch.nn as tnn
+
+    conv = unit.convolution[0]
+    params = {"conv": t2j_conv3d(conv)}
+    stats = {}
+    if len(unit.convolution) > 1 and isinstance(unit.convolution[1], tnn.BatchNorm3d):
+        bn = unit.convolution[1]
+        if rng is not None:
+            randomize_bn_(bn, rng)
+        params["bn"] = {
+            "scale": bn.weight.detach().numpy(),
+            "bias": bn.bias.detach().numpy(),
+        }
+        stats["bn"] = {"mean": bn.running_mean.numpy(), "var": bn.running_var.numpy()}
+    return params, stats
+
+
+def to_ncdhw(x):
+    return np.moveaxis(x, -1, 1)
+
+
+def to_ndhwc(x):
+    return np.moveaxis(x, 1, -1)
+
+
+@pytest.fixture(scope="module")
+def ref3d(ref):
+    import importlib
+
+    return importlib.import_module("models.phiseg3D")
+
+
+def test_phiseg3d_posterior_and_likelihood_parity(ref, ref3d):
+    """Transplant the reference 3D Posterior/Likelihood weights and compare
+    mu/sigma/decodes. (Two reference-3D bugs NOT reproduced: nlabels=2
+    hardcoded one-hot, phiseg3D.py:282; the s_layer upsample passes only 2
+    sizes to a 5D interpolate, phiseg3D.py:398 — we therefore compare the
+    likelihood up to (and excluding) the final nearest upsample.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_zoo_tpu.models.phiseg import PHiSeg, REV_DEPTHS_3D
+
+    torch = ref.torch
+    torch.manual_seed(3)
+    filters = [2, 4, 4]
+    L, R = 2, 3
+    size = 16
+
+    rpost = ref3d.Posterior(1, 2, filters, latent_levels=L, is_posterior=True).eval()
+    rprior = ref3d.Posterior(1, 2, filters, latent_levels=L, is_posterior=False).eval()
+    rlik = ref3d.Likelihood(
+        1, 2, filters, latent_levels=L,  # resolution_levels = len(filters)
+        image_size=(1, size, size, size),
+    ).eval()
+
+    model = PHiSeg(
+        num_classes=2, num_filters=tuple(filters), latent_levels=L,
+        image_size=(size, size, size), rev_depths=REV_DEPTHS_3D,
+    )
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1, size, size, size, 1)).astype(np.float32)
+    # the 3D reference expects ALREADY one-hot masks (convert_to_onehot_torch
+    # passes 4D inputs through, utils.py:296-299); ours accepts the same
+    y_lbl = rng.integers(0, 2, (1, size, size, size)).astype(np.int64)
+    y = np.eye(2, dtype=np.float32)[y_lbl]  # (1, D, H, W, 2) one-hot NDHWC
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "z": jax.random.PRNGKey(1)},
+        jnp.asarray(x), jnp.asarray(y), train=False,
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    def units_of(seq):
+        return [m for m in seq if m.__class__.__name__ == "Conv3D"]
+
+    def transplant(rnet, name):
+        for i, down in enumerate(rnet.contracting_path):
+            for k, u in enumerate(units_of(down.layers)):
+                p, s = t2j_conv3d_unit(u, rng)
+                params[name][f"down{i}"]["convs"][f"conv{k}"] = p
+                stats[name][f"down{i}"]["convs"][f"conv{k}"] = s
+        for i in range(L - 1):
+            for k, u in enumerate(units_of(rnet.upsampling_path[i].upconv_layer)):
+                p, s = t2j_conv3d_unit(u, rng)
+                params[name][f"up{i}"]["convs"][f"conv{k}"] = p
+                stats[name][f"up{i}"]["convs"][f"conv{k}"] = s
+        for i, sz in enumerate(rnet.sample_z_path):
+            for k, u in enumerate(units_of(sz.conv)):
+                p, s = t2j_conv3d_unit(u, rng)
+                params[name][f"samplez{i}"]["convs"][f"conv{k}"] = p
+                stats[name][f"samplez{i}"]["convs"][f"conv{k}"] = s
+            params[name][f"samplez{i}"]["mu"] = t2j_conv3d(sz.mu_conv[0])
+            params[name][f"samplez{i}"]["sigma"] = t2j_conv3d(sz.sigma_conv[0])
+
+    transplant(rpost, "posterior")
+    transplant(rprior, "prior")
+
+    lvl_diff = R - L
+    for j in range(L):
+        pj, sj = {}, {}
+        for i, unit in enumerate(rlik.likelihood_ups_path[j].convolution):
+            p, s = t2j_conv3d_unit(unit, rng)
+            pj[f"conv{i}"] = p
+            sj[f"conv{i}"] = s
+        params["likelihood"][f"embed{j}"] = pj
+        stats["likelihood"][f"embed{j}"] = sj
+        seqs = [
+            m for m in rlik.likelihood_post_ups_path[j]
+            if m.__class__.__name__ == "Conv3DSequence"
+        ]
+        for t, seq in enumerate(seqs):
+            pt, st = {}, {}
+            for i, unit in enumerate(seq.convolution):
+                p, s = t2j_conv3d_unit(unit, rng)
+                pt[f"conv{i}"] = p
+                st[f"conv{i}"] = s
+            params["likelihood"][f"incres{j}_{t}"] = pt
+            stats["likelihood"][f"incres{j}_{t}"] = st
+    for i in range(L - 1):
+        pi, si = {}, {}
+        for k, unit in enumerate(rlik.likelihood_post_c_path[i].convolution):
+            p, s = t2j_conv3d_unit(unit, rng)
+            pi[f"conv{k}"] = p
+            si[f"conv{k}"] = s
+        params["likelihood"][f"postc{i}"] = pi
+        stats["likelihood"][f"postc{i}"] = si
+    for j in range(L):
+        head = rlik.s_layer[j].convolution[0].convolution[0]
+        params["likelihood"][f"head{j}"]["conv"] = t2j_conv3d(head)
+
+    # fixed teacher-forcing z per level: z_l spatial = size / 2^(lvl_diff+l)
+    zs = []
+    for l in range(L):
+        side = size // (2 ** (lvl_diff + l))
+        zs.append(rng.standard_normal((1, side, side, side, 2)).astype(np.float32))
+    zs_t = [torch.tensor(to_ncdhw(z)) for z in zs]
+    variables = {"params": params, "batch_stats": stats}
+
+    for rnet, method, with_mask in ((rpost, "posterior", True), (rprior, "prior", False)):
+        with torch.no_grad():
+            _, mu_t, sigma_t = rnet(
+                torch.tensor(to_ncdhw(x)),
+                torch.tensor(to_ncdhw(y)) if with_mask else None,
+                training_prior=True, z_list=zs_t,
+            )
+        _, mu_j, sigma_j = model.apply(
+            variables, jnp.asarray(x), jnp.asarray(y) if with_mask else None,
+            [jnp.asarray(z) for z in zs], train=False,
+            rngs={"z": jax.random.PRNGKey(0)},
+            method=lambda m, a, b, c, train: getattr(m, method)(a, b, c, train=train),
+        )
+        for l in range(L):
+            np.testing.assert_allclose(
+                np.asarray(mu_j[l]), to_ndhwc(mu_t[l].numpy()), atol=5e-4,
+                err_msg=f"3D {method} mu level {l}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(sigma_j[l]), to_ndhwc(sigma_t[l].numpy()), atol=5e-4,
+                err_msg=f"3D {method} sigma level {l}",
+            )
