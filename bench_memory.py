@@ -7,15 +7,19 @@ TPU, using XLA's compile-time memory analysis of the FULL jitted train
 step (augment + fwd + loss + bwd + Adam), LIDC 128x128 config at the
 paper's batch sizes.
 
-MEASURED FINDING (round 1): on XLA/TPU the plain model is already
-memory-optimized by the compiler (fusion-level rematerialization across
-the whole graph), and the reversible custom_vjp — whose residuals and
-backward are opaque to XLA — costs MORE peak memory at the full-model
-level (~1.2-1.6x), even though isolated reversible blocks measure at
-0.7-0.9x of their plain equivalents. The torch-era claim assumes a
-baseline with no compiler remat. Both levers ("reversible", per-block
-"remat") remain available per experiment config; the honest numbers are
-what this benchmark prints.
+MEASURED FINDINGS (round 1, TPU v5e, LIDC 128x128 f32):
+
+* "remat" (per-conv-sequence jax.checkpoint, identical parameters to
+  plain) saves 33-35% peak train-step memory at the paper's batch sizes —
+  REPRODUCING AND EXCEEDING the reference's 30% headline with the
+  XLA-idiomatic mechanism.
+* "reversible" (the literal revtorch design: additive-coupling blocks with
+  custom_vjp inverse reconstruction — a DIFFERENT architecture, as in
+  RevPHiSeg) measures ~1.4x MORE peak memory than plain at full-model
+  scale, even though isolated reversible blocks measure at 0.7-0.9x:
+  its residuals/backward are opaque to XLA, which already remats the
+  plain path at fusion level. The torch-era claim assumes a baseline with
+  no compiler rematerialization.
 """
 
 from __future__ import annotations
@@ -72,21 +76,21 @@ def main() -> None:
                 ),
                 flush=True,
             )
-    for batch in batches:
-        plain = results[("plain", batch)]
-        rev = results[("reversible", batch)]
-        print(
-            json.dumps(
-                {
-                    "metric": "revphiseg_memory_savings",
-                    "batch": batch,
-                    "value": round(1.0 - rev / plain, 4),
-                    "unit": "fraction",
-                    "reference_claim": 0.30,
-                }
-            ),
-            flush=True,
-        )
+    for mode in ("remat", "reversible"):
+        for batch in batches:
+            plain = results[("plain", batch)]
+            print(
+                json.dumps(
+                    {
+                        "metric": f"{mode}_memory_savings_vs_plain",
+                        "batch": batch,
+                        "value": round(1.0 - results[(mode, batch)] / plain, 4),
+                        "unit": "fraction",
+                        "reference_claim": 0.30,
+                    }
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -310,3 +310,27 @@ def test_bf16_reversible_training_step(lidc32, tmp_path):
     x, y = lidc32.train.next_batch(cfg.batch_size)
     tr.state, aux = tr._train_step(tr.state, jnp.asarray(x), jnp.asarray(y))
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_remat_mode_same_params_as_plain(lidc32, tmp_path):
+    """remat must be checkpoint-compatible with plain (same param tree)."""
+    p1 = Trainer(_tiny_cfg("phiseg"), log_dir=str(tmp_path / "p")).state.params
+    p2 = Trainer(
+        _tiny_cfg("phiseg", reversible_mode="remat"), log_dir=str(tmp_path / "r")
+    ).state.params
+    t1 = jax.tree_util.tree_structure(p1)
+    t2 = jax.tree_util.tree_structure(p2)
+    assert t1 == t2
+
+
+def test_remat_mode_matches_plain_outputs(lidc32, tmp_path):
+    """remat changes memory scheduling, not math: same loss from the same
+    params."""
+    cfg_p = _tiny_cfg("phiseg", data_seed=1)
+    cfg_r = _tiny_cfg("phiseg", data_seed=1, reversible_mode="remat")
+    tp = Trainer(cfg_p, log_dir=str(tmp_path / "mp"), seed=0)
+    tr = Trainer(cfg_r, log_dir=str(tmp_path / "mr"), seed=0)
+    x, y = lidc32.train.next_batch(2)
+    _, aux_p = tp._train_step(tp.state, jnp.asarray(x), jnp.asarray(y))
+    _, aux_r = tr._train_step(tr.state, jnp.asarray(x), jnp.asarray(y))
+    assert float(aux_p["loss"]) == pytest.approx(float(aux_r["loss"]), rel=1e-5)

@@ -31,17 +31,24 @@ class DownBlock(nn.Module):
         if self.pool:
             assert not is_multi
             x = ops.avg_pool_ceil(x)
-        if self.reversible_mode in ("reversible", "remat"):
+        if self.reversible_mode == "reversible":
             if is_multi:  # reversible sequences need one tensor
                 x = jnp.concatenate(x, axis=-1)
             return ops.ReversibleSequence(
                 self.features,
                 depth=self.depth,
-                mode=self.reversible_mode,
+                mode="reversible",
                 init_scheme=self.init_scheme,
                 dtype=self.dtype,
                 name="rev",
             )(x, train=train)
+        if self.reversible_mode == "remat":
+            if is_multi:
+                x = jnp.concatenate(x, axis=-1)
+            return ops.conv_sequence(
+                self.features, self.depth, mode="remat", norm=False,
+                init_scheme=self.init_scheme, dtype=self.dtype, name="convs",
+            )(x, train)
         for i in range(self.depth):
             x = ops.ConvBNAct(
                 self.features,
@@ -71,19 +78,17 @@ class PhiDownBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         if self.pool:
             x = ops.avg_pool_ceil(x)
-        if self.reversible_mode in ("reversible", "remat"):
+        if self.reversible_mode == "reversible":
             return ops.ReversibleSequence(
                 self.features,
                 depth=self.rev_depth,
-                mode=self.reversible_mode,
+                mode="reversible",
                 init_scheme=self.init_scheme,
                 dtype=self.dtype,
                 name="rev",
             )(x, train=train)
-        return ops.ConvSeq(
-            self.features,
-            depth=self.depth,
-            init_scheme=self.init_scheme,
-            dtype=self.dtype,
-            name="convs",
-        )(x, train=train)
+        # "remat" stores only block boundaries (same params as plain)
+        return ops.conv_sequence(
+            self.features, self.depth, mode=self.reversible_mode,
+            init_scheme=self.init_scheme, dtype=self.dtype, name="convs",
+        )(x, train)

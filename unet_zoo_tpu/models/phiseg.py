@@ -61,15 +61,16 @@ class _SampleZ(nn.Module):
                 x = jnp.concatenate(x, axis=-1)
         else:
             feats = x.shape[-1]
-        if self.reversible_mode in ("reversible", "remat"):
+        if self.reversible_mode == "reversible":
             x = ops.ReversibleSequence(
-                feats, depth=self.rev_depth, mode=self.reversible_mode,
+                feats, depth=self.rev_depth, mode="reversible",
                 dtype=self.dtype, name="rev",
             )(x, train=train)
         else:
-            x = ops.ConvSeq(
-                feats, depth=self.depth, dtype=self.dtype, name="convs"
-            )(x, train=train)
+            x = ops.conv_sequence(
+                feats, self.depth, mode=self.reversible_mode,
+                dtype=self.dtype, name="convs",
+            )(x, train)
         mu = ops.Conv(self.zdim, kernel_size=1, name="mu")(x)
         sigma = jax.nn.softplus(
             ops.Conv(self.zdim, kernel_size=1, name="sigma")(x).astype(jnp.float32)
@@ -95,15 +96,16 @@ class _PhiUpBlock(nn.Module):
         x = ops.resize_linear(
             z.astype(bridge.dtype), bridge.shape[1:-1], align_corners=True
         )
-        if self.reversible_mode in ("reversible", "remat"):
+        if self.reversible_mode == "reversible":
             x = ops.ReversibleSequence(
-                self.features, depth=self.rev_depth, mode=self.reversible_mode,
+                self.features, depth=self.rev_depth, mode="reversible",
                 dtype=self.dtype, name="rev",
             )(x, train=train)
         else:
-            x = ops.ConvSeq(self.features, depth=2, dtype=self.dtype, name="convs")(
-                x, train=train
-            )
+            x = ops.conv_sequence(
+                self.features, 2, mode=self.reversible_mode,
+                dtype=self.dtype, name="convs",
+            )(x, train)
         assert x.shape[1:-1] == bridge.shape[1:-1], (x.shape, bridge.shape)
         # implicit concat (ops.Conv tuple input): consumed by the next
         # SampleZ/ConvSeq without materializing the concatenated tensor
@@ -210,16 +212,19 @@ class _PhiLikelihood(nn.Module):
         embeds, post_ups = [], []
         for j in range(L):  # j-th module handles latent level L-1-j
             feats = self.num_filters[L - 1 - j]
-            if self.reversible_mode in ("reversible", "remat"):
+            if self.reversible_mode == "reversible":
                 embeds.append(
                     ops.ReversibleSequence(
-                        feats, depth=self.rev_depths[3], mode=self.reversible_mode,
+                        feats, depth=self.rev_depths[3], mode="reversible",
                         dtype=self.dtype, name=f"embed{j}",
                     )
                 )
             else:
                 embeds.append(
-                    ops.ConvSeq(feats, depth=2, dtype=self.dtype, name=f"embed{j}")
+                    ops.conv_sequence(
+                        feats, 2, mode=self.reversible_mode,
+                        dtype=self.dtype, name=f"embed{j}",
+                    )
                 )
             # increase_resolution (reference phiseg.py:209-221): lvl_diff
             # upsample+conv(depth=1) stages, always non-reversible.
@@ -235,16 +240,19 @@ class _PhiLikelihood(nn.Module):
         post_c = []
         for i in range(L - 1):
             feats = self.num_filters[i + lvl_diff]
-            if self.reversible_mode in ("reversible", "remat"):
+            if self.reversible_mode == "reversible":
                 post_c.append(
                     ops.ReversibleSequence(
-                        feats, depth=self.rev_depths[4], mode=self.reversible_mode,
+                        feats, depth=self.rev_depths[4], mode="reversible",
                         dtype=self.dtype, name=f"postc{i}",
                     )
                 )
             else:
                 post_c.append(
-                    ops.ConvSeq(feats, depth=2, dtype=self.dtype, name=f"postc{i}")
+                    ops.conv_sequence(
+                        feats, 2, mode=self.reversible_mode,
+                        dtype=self.dtype, name=f"postc{i}",
+                    )
                 )
         self.post_c_path = post_c
 
@@ -271,12 +279,12 @@ class _PhiLikelihood(nn.Module):
         post_z: List[Any] = [None] * L
         for j in range(L):
             lvl = L - 1 - j
-            h = self.embeds[j](z_list[lvl].astype(self.dtype or jnp.float32), train=train)
+            h = self.embeds[j](z_list[lvl].astype(self.dtype or jnp.float32), train)
             for t, stage in enumerate(self.post_ups[j]):
                 h = ops.resize_linear(
                     h, chain[lvl + lvl_diff - 1 - t], align_corners=True
                 )
-                h = stage(h, train=train)
+                h = stage(h, train)
             post_z[lvl] = h
 
         post_c: List[Any] = [None] * L
@@ -289,7 +297,7 @@ class _PhiLikelihood(nn.Module):
                 h = jnp.concatenate([post_z[i], ups], axis=-1)
             else:
                 h = (post_z[i], ups)  # tuple = implicit concat (ops.Conv)
-            post_c[i] = self.post_c_path[i](h, train=train)
+            post_c[i] = self.post_c_path[i](h, train)
 
         s = [None] * L
         spatial = tuple(self.image_size)

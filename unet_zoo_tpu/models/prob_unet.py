@@ -42,24 +42,25 @@ class _Encoder(nn.Module):
         for i, f in enumerate(self.num_filters):
             if i != 0:
                 x = ops.avg_pool_ceil(x)
-            if self.reversible_mode in ("reversible", "remat"):
+            if self.reversible_mode == "reversible":
                 # reference uses reversible_depth = no_convs_per_block - 1 (:60)
                 x = ops.ReversibleSequence(
                     f,
                     depth=self.depth_per_block - 1,
-                    mode=self.reversible_mode,
+                    mode="reversible",
                     init_scheme="he_normal",
                     dtype=self.dtype,
                     name=f"rev{i}",
                 )(x, train=train)
             else:
-                x = ops.ConvSeq(
+                x = ops.conv_sequence(
                     f,
-                    depth=self.depth_per_block,
+                    self.depth_per_block,
+                    mode=self.reversible_mode,
                     init_scheme="he_normal",
                     dtype=self.dtype,
                     name=f"block{i}",
-                )(x, train=train)
+                )(x, train)
         return x
 
 

@@ -13,7 +13,7 @@ from unet_zoo_tpu.ops.init import (
     orthogonal_kernel,
 )
 from unet_zoo_tpu.ops.norm import BatchNorm
-from unet_zoo_tpu.ops.conv import Conv, ConvBNAct, ConvSeq
+from unet_zoo_tpu.ops.conv import Conv, ConvBNAct, ConvSeq, conv_sequence
 from unet_zoo_tpu.ops.pool import avg_pool_ceil
 from unet_zoo_tpu.ops.resize import (
     upsample_linear,
@@ -32,6 +32,7 @@ __all__ = [
     "Conv",
     "ConvBNAct",
     "ConvSeq",
+    "conv_sequence",
     "avg_pool_ceil",
     "upsample_linear",
     "upsample_nearest",

@@ -145,6 +145,49 @@ class ConvBNAct(nn.Module):
         return y
 
 
+def conv_sequence(
+    features: int,
+    depth: int,
+    mode: str = "plain",
+    rev_depth: Optional[int] = None,
+    norm: bool = True,
+    init_scheme: str = "torch_default",
+    dtype=None,
+    name: Optional[str] = None,
+):
+    """Build a conv sequence for the given memory mode:
+
+    * "plain"      — ConvSeq, all activations stored;
+    * "remat"      — the SAME ConvSeq under nn.remat: stores only the
+                     sequence boundary, recomputes internals in backward
+                     (identical parameter structure to plain — checkpoints
+                     interchange);
+    * "reversible" — additive-coupling ReversibleSequence (custom_vjp
+                     inverse reconstruction; the reference's revtorch
+                     design, different parameter structure).
+    """
+    from unet_zoo_tpu.ops.reversible import ReversibleSequence
+
+    if mode == "reversible":
+        return ReversibleSequence(
+            features,
+            depth=rev_depth if rev_depth is not None else depth,
+            mode="reversible",
+            init_scheme=init_scheme,
+            dtype=dtype,
+            name=name,
+        )
+    cls = nn.remat(ConvSeq, static_argnums=(2,)) if mode == "remat" else ConvSeq
+    return cls(
+        features,
+        depth=depth,
+        norm=norm,
+        init_scheme=init_scheme,
+        dtype=dtype,
+        name=name,
+    )
+
+
 class ConvSeq(nn.Module):
     """``depth`` stacked ConvBNAct blocks (reference Conv2DSequence)."""
 
