@@ -95,7 +95,12 @@ class UNet(nn.Module):
 
 
 def softmax_cross_entropy(logits, labels):
-    """Per-element CE with integer labels over the trailing channel axis."""
+    """Per-element CE with integer labels over the trailing channel axis.
+
+    One-hot contraction instead of take_along_axis: the label gather (and
+    its scatter-add backward) dominated the PHiSeg train step on TPU
+    (profiled ~40 of 80 ms/step — the residual loss evaluates CE at every
+    latent level); the one-hot form is elementwise on the VPU."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    lab = labels.astype(jnp.int32)
-    return -jnp.take_along_axis(logp, lab[..., None], axis=-1)[..., 0]
+    oh = jax.nn.one_hot(labels.astype(jnp.int32), logits.shape[-1], dtype=logp.dtype)
+    return -jnp.sum(oh * logp, axis=-1)
