@@ -334,3 +334,37 @@ def test_remat_mode_matches_plain_outputs(lidc32, tmp_path):
     _, aux_p = tp._train_step(tp.state, jnp.asarray(x), jnp.asarray(y))
     _, aux_r = tr._train_step(tr.state, jnp.asarray(x), jnp.asarray(y))
     assert float(aux_p["loss"]) == pytest.approx(float(aux_r["loss"]), rel=1e-5)
+
+
+def test_cli_resume_continues_from_step(tmp_path):
+    from unet_zoo_tpu.data.synthetic import make_lidc_cache
+    from unet_zoo_tpu.training.cli import train_main
+
+    cache = str(tmp_path / "preproc" / "data_lidc.hdf5")
+    os.makedirs(os.path.dirname(cache))
+    make_lidc_cache(cache, num_per_split=(6, 2, 2), size=32)
+    exp = tmp_path / "exp.py"
+    exp.write_text(
+        "from unet_zoo_tpu.experiments import ExperimentConfig\n"
+        "config = ExperimentConfig(experiment_name='R', model='unet',\n"
+        "    filter_channels=(4, 8), image_size=(32, 32), batch_size=2,\n"
+        "    iterations=3, validation_frequency=10**9,\n"
+        "    logging_frequency=10**9)\n"
+    )
+    sys_cfg = tmp_path / "sys.json"
+    sys_cfg.write_text(json.dumps({
+        "log_root": str(tmp_path / "logs"), "data_root": "unused",
+        "preproc_folder": str(tmp_path / "preproc"),
+    }))
+    assert train_main([str(exp), "--sys-config", str(sys_cfg)]) == 0
+    assert train_main([str(exp), "--sys-config", str(sys_cfg),
+                       "--resume", "--iterations", "2"]) == 0
+    # resumed state: step = 3 (first run) + 2 (second)
+    from unet_zoo_tpu.experiments import load_experiment
+    from unet_zoo_tpu.training import Trainer
+
+    cfg = load_experiment(str(exp))
+    tr = Trainer(cfg, log_dir=str(tmp_path / "logs" / "lidc" / "R"),
+                 tensorboard=False)
+    tr.restore("last")
+    assert int(tr.state.step) == 5

@@ -78,6 +78,17 @@ def train_main(argv=None) -> int:
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--log-root", default=None)
     p.add_argument("--no-validate", action="store_true")
+    p.add_argument(
+        "--resume",
+        nargs="?",
+        const="last",
+        default=None,
+        metavar="CKPT",
+        help="resume training from a checkpoint in the log dir (default: "
+        "'last'). Restores the FULL state — params, optimizer, scheduler, "
+        "step, PRNG — so training continues exactly (the reference can "
+        "only reload weights, train_model.py:53-67)",
+    )
     args = p.parse_args(argv)
 
     cfg = load_experiment(args.experiment)
@@ -91,6 +102,11 @@ def train_main(argv=None) -> int:
     from unet_zoo_tpu.training.trainer import Trainer
 
     trainer = Trainer(cfg, sys_cfg, log_dir=log_dir)
+    if args.resume is not None:
+        trainer.restore(args.resume)
+        logging.getLogger(__name__).info(
+            "resumed from '%s' at step %d", args.resume, int(trainer.state.step)
+        )
     data = _build_data(cfg, sys_cfg)
     trainer.train(data, iterations=args.iterations, validate=not args.no_validate)
     trainer.save_model("last")  # reference train_model.py:615
