@@ -90,7 +90,7 @@ class TestUNet:
             return optax.apply_updates(params, upd), st, loss
 
         first = None
-        for i in range(30):
+        for i in range(60):
             params, st, loss = step(params, st)
             first = first if first is not None else float(loss)
         assert float(loss) < first * 0.9

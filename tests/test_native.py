@@ -102,3 +102,40 @@ def test_native_provider_semantics(tmp_path):
             seen.add(int(matches[0]))
     assert len(seen) >= n - 4  # one batch may be in-flight across the epoch edge
     bp.close()
+
+
+def test_corrupt_store_rejected(tmp_path):
+    """ADVICE r1: untrusted headers (bad ndim/dtype, truncated data) must
+    fail bs_open instead of overflowing Store::dims[8] or mmap reads."""
+    good = np.arange(24, dtype=np.float32).reshape(4, 6)
+    path = str(tmp_path / "c.bin")
+    write_store(path, good)
+    raw = bytearray(open(path, "rb").read())
+
+    # ndim byte out of range (255 would overflow the fixed dims[8])
+    bad = bytearray(raw)
+    bad[6] = 255
+    (tmp_path / "bad_ndim.bin").write_bytes(bytes(bad))
+    with pytest.raises(OSError):
+        BatchStore(str(tmp_path / "bad_ndim.bin"), np.float32)
+
+    # unsupported dtype code
+    bad = bytearray(raw)
+    bad[5] = 7
+    (tmp_path / "bad_dtype.bin").write_bytes(bytes(bad))
+    with pytest.raises(OSError):
+        BatchStore(str(tmp_path / "bad_dtype.bin"), np.float32)
+
+    # truncated payload: file shorter than num_records * record_bytes
+    (tmp_path / "trunc.bin").write_bytes(bytes(raw[:-8]))
+    with pytest.raises(OSError):
+        BatchStore(str(tmp_path / "trunc.bin"), np.float32)
+
+
+def test_gather_clamps_out_of_range_indices(tmp_path):
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    store = _store(tmp_path, arr, name="clamp.bin")
+    out = store.gather(np.array([-5, 0, 99], dtype=np.int64))
+    np.testing.assert_array_equal(out[0], arr[0])  # clamped low
+    np.testing.assert_array_equal(out[1], arr[0])
+    np.testing.assert_array_equal(out[2], arr[2])  # clamped high

@@ -79,6 +79,70 @@ def test_dp_matches_single_device(lidc32, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+_DIST_WORKER = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+pid, port = int(sys.argv[1]), sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+from unet_zoo_tpu.parallel import init_distributed, make_mesh
+assert init_distributed(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert jax.device_count() == 4, jax.device_count()
+assert jax.local_device_count() == 2
+mesh = make_mesh(4)
+assert dict(mesh.shape) == {"data": 4, "space": 1}
+import numpy as np, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+arr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), np.full((2, 3), float(pid + 1)))
+s = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+val = float(jax.device_get(s))
+assert val == 18.0, val  # 6*1 from proc 0 + 6*2 from proc 1: DCN-style psum
+print(f"DIST_OK {pid} {val}")
+"""
+
+
+def test_two_process_distributed_init():
+    """Real multi-process bring-up: two OS processes, DCN-style Gloo
+    collectives, init_distributed + make_mesh spanning both (SURVEY.md §5
+    distributed slot; the reference is single-device, train_model.py:47)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _DIST_WORKER, str(pid), str(port)],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"DIST_OK {pid} 18.0" in out, out
+
+
+def test_init_distributed_explicit_failure_raises():
+    """A misconfigured EXPLICIT multi-process launch must raise, not
+    silently degrade to single-host (mesh.py init_distributed)."""
+    from unet_zoo_tpu.parallel import init_distributed
+
+    with pytest.raises((RuntimeError, ValueError)):
+        # jax.distributed already un-initialized in-process; num_processes
+        # without a coordinator address is an invalid explicit config
+        init_distributed(num_processes=2, process_id=0)
+
+
 def test_spatial_sharding_conv_correctness():
     """Conv under space-sharding must equal unsharded conv (halo exchange)."""
     from unet_zoo_tpu import ops

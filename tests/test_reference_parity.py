@@ -176,14 +176,14 @@ def test_unet_forward_parity(ref):
             if isinstance(m, torch.nn.Conv2d)
         ]
         for k, c in enumerate(convs):
-            params[f"down{i}"][f"conv{k}"]["conv"] = t2j_conv(c)
+            params[f"down{i}"]["convs"][f"conv{k}"]["conv"] = t2j_conv(c)
     for j, up in enumerate(rmodel.upsampling_path):
         i = len(filters) - 2 - j
         convs = [
             m for m in up.conv_block.layers if isinstance(m, torch.nn.Conv2d)
         ]
         for k, c in enumerate(convs):
-            params[f"up{i}"][f"conv{k}"]["conv"] = t2j_conv(c)
+            params[f"up{i}"]["convs"][f"conv{k}"]["conv"] = t2j_conv(c)
     params["last"] = t2j_conv(rmodel.last_layer)
 
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x), train=False))
@@ -241,14 +241,14 @@ def prob_pair(ref):
             if isinstance(m, torch.nn.Conv2d)
         ]
         for k, c in enumerate(convs):
-            params["unet"][f"down{i}"][f"conv{k}"]["conv"] = t2j_conv(c)
+            params["unet"][f"down{i}"]["convs"][f"conv{k}"]["conv"] = t2j_conv(c)
     for j, up in enumerate(rmodel.unet.upsampling_path):
         i = len(filters) - 2 - j
         convs = [
             m for m in up.conv_block.layers if isinstance(m, torch.nn.Conv2d)
         ]
         for k, c in enumerate(convs):
-            params["unet"][f"up{i}"][f"conv{k}"]["conv"] = t2j_conv(c)
+            params["unet"][f"up{i}"]["convs"][f"conv{k}"]["conv"] = t2j_conv(c)
 
     # prior / posterior encoders + 1x1 heads
     for rnet, ours in ((rmodel.prior, "prior_net"), (rmodel.posterior, "posterior_net")):

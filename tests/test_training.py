@@ -167,12 +167,13 @@ def test_trainer_step_runs_and_descends(model, lidc32, tmp_path):
     cfg = _tiny_cfg(model)
     tr = Trainer(cfg, log_dir=str(tmp_path / model))
     losses = []
-    for _ in range(8):
+    for _ in range(16):
         x, y = lidc32.train.next_batch(cfg.batch_size)
         tr.state, aux = tr._train_step(tr.state, jnp.asarray(x), jnp.asarray(y))
         losses.append(float(aux["loss"]))
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0]
+    # seed-robust descent check: smoothed tail below the first loss
+    assert np.mean(losses[-4:]) < losses[0]
 
 
 def test_trainer_validate_and_best_checkpoints(lidc32, tmp_path):
@@ -357,9 +358,9 @@ def test_cli_resume_continues_from_step(tmp_path):
         "preproc_folder": str(tmp_path / "preproc"),
     }))
     assert train_main([str(exp), "--sys-config", str(sys_cfg)]) == 0
+    # iterations is a TOTAL budget: resuming at step 3 toward 5 runs 2 more
     assert train_main([str(exp), "--sys-config", str(sys_cfg),
-                       "--resume", "--iterations", "2"]) == 0
-    # resumed state: step = 3 (first run) + 2 (second)
+                       "--resume", "--iterations", "5"]) == 0
     from unet_zoo_tpu.experiments import load_experiment
     from unet_zoo_tpu.training import Trainer
 
@@ -368,3 +369,79 @@ def test_cli_resume_continues_from_step(tmp_path):
                  tensorboard=False)
     tr.restore("last")
     assert int(tr.state.step) == 5
+    # resuming with a budget already met is a no-op
+    assert train_main([str(exp), "--sys-config", str(sys_cfg),
+                       "--resume", "--iterations", "2"]) == 0
+    tr.restore("last")
+    assert int(tr.state.step) == 5
+
+
+def test_resume_preserves_best_metrics(lidc32, tmp_path):
+    """ADVICE r1: a resumed trainer must NOT reset the best-metric ledger —
+    otherwise the first post-resume validation overwrites every best_*
+    checkpoint regardless of quality."""
+    cfg = _tiny_cfg("unet")
+    log_dir = str(tmp_path / "bm")
+    tr = Trainer(cfg, log_dir=log_dir)
+    tr.best = {"dice": 0.9, "loss": 0.01, "ged": 0.1, "ncc": 0.8}
+    tr.iteration = 2
+    tr.save_model("last")
+
+    tr2 = Trainer(cfg, log_dir=log_dir)
+    tr2.restore("last")
+    assert tr2.best == {"dice": 0.9, "loss": 0.01, "ged": 0.1, "ncc": 0.8}
+    assert tr2.iteration == int(tr2.state.step)
+
+
+def test_prefetch_loader_surfaces_producer_errors():
+    """ADVICE r1: a producer exception must re-raise in next_batch instead
+    of leaving the consumer blocked forever."""
+    from unet_zoo_tpu.data.augment_host import PrefetchingLoader
+
+    class Boom:
+        def next_batch(self, bs):
+            raise RuntimeError("h5py exploded")
+
+    loader = PrefetchingLoader(Boom(), batch_size=2, opts=None)
+    with pytest.raises(RuntimeError, match="h5py exploded"):
+        loader.next_batch()
+    loader.close()
+
+
+def test_prefetch_loader_close_joins_thread(lidc32):
+    from unet_zoo_tpu.data.augment_host import PrefetchingLoader
+
+    loader = PrefetchingLoader(lidc32.train, batch_size=2, opts=None)
+    x, y = loader.next_batch()
+    assert x.shape[0] == 2
+    loader.close()
+    assert not loader._thread.is_alive()
+
+
+def test_adam_coupled_l2_matches_torch():
+    """The optimizer reproduces torch.optim.Adam(weight_decay=1e-2) —
+    COUPLED L2, not AdamW (reference train_model.py:49). Strong wd so the
+    coupled-vs-decoupled difference is far above tolerance."""
+    torch = pytest.importorskip("torch")
+    from unet_zoo_tpu.training.trainer import adam_coupled_l2
+
+    w0 = np.linspace(-1.0, 1.0, 12).astype(np.float32).reshape(3, 4)
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.Adam([tw], lr=1e-2, weight_decay=1e-2)
+
+    tx = adam_coupled_l2(learning_rate=1e-2, weight_decay=1e-2)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        g = rng.standard_normal((3, 4)).astype(np.float32)
+        tw.grad = torch.tensor(g)
+        topt.step()
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6
+    )

@@ -153,7 +153,11 @@ def augment_batch_host(
 
 class PrefetchingLoader:
     """Wrap any provider: a background thread keeps `depth` augmented
-    batches ready, so host augmentation overlaps device compute."""
+    batches ready, so host augmentation overlaps device compute.
+
+    Producer exceptions (cv2 failure, h5py read error, …) are pushed onto
+    the queue and re-raised in the consumer's ``next_batch`` — the training
+    loop never blocks forever on a dead producer."""
 
     def __init__(self, provider, batch_size: int,
                  opts: Optional[AugmentOptions] = None,
@@ -165,28 +169,52 @@ class PrefetchingLoader:
         self.batch_size = batch_size
         self.opts = opts
         self.rng = rng if rng is not None else np.random.default_rng()
+        self._queue_mod = queue
         self._q = queue.Queue(maxsize=depth)
-        self._stop = False
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
-        while not self._stop:
-            x, y = self.provider.next_batch(self.batch_size)
-            if self.opts is not None:
-                x, y = augment_batch_host(x, y, self.opts, self.rng)
+        while not self._stop.is_set():
             try:
-                self._q.put((x, y), timeout=1.0)
-            except Exception:
-                continue
+                x, y = self.provider.next_batch(self.batch_size)
+                if self.opts is not None:
+                    x, y = augment_batch_host(x, y, self.opts, self.rng)
+                item = ("batch", (x, y))
+            except BaseException as exc:  # surface to the consumer
+                item = ("error", exc)
+            # bounded retry loop: give up as soon as close() is called
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=1.0)
+                    break
+                except self._queue_mod.Full:
+                    continue
+            if item[0] == "error":
+                return  # stop producing after surfacing the failure
 
     def next_batch(self, batch_size: Optional[int] = None):
         assert batch_size is None or batch_size == self.batch_size
-        return self._q.get()
+        while True:
+            try:
+                kind, payload = self._q.get(timeout=5.0)
+            except self._queue_mod.Empty:
+                if not self._thread.is_alive():
+                    raise RuntimeError(
+                        "prefetch producer thread died without a batch"
+                    )
+                continue
+            if kind == "error":
+                raise payload
+            return payload
 
     def close(self):
-        self._stop = True
+        self._stop.set()
+        # drain so a producer blocked in put() can observe the stop flag
         try:
-            self._q.get_nowait()  # unblock the producer if full
+            while True:
+                self._q.get_nowait()
         except Exception:
             pass
+        self._thread.join(timeout=5.0)

@@ -42,23 +42,15 @@ class DownBlock(nn.Module):
                 dtype=self.dtype,
                 name="rev",
             )(x, train=train)
-        if self.reversible_mode == "remat":
-            if is_multi:
-                x = jnp.concatenate(x, axis=-1)
-            return ops.conv_sequence(
-                self.features, self.depth, mode="remat", norm=False,
-                init_scheme=self.init_scheme, dtype=self.dtype, name="convs",
-            )(x, train)
-        for i in range(self.depth):
-            x = ops.ConvBNAct(
-                self.features,
-                kernel_size=3,
-                norm=False,
-                init_scheme=self.init_scheme,
-                dtype=self.dtype,
-                name=f"conv{i}",
-            )(x, train=train)
-        return x
+        if self.reversible_mode == "remat" and is_multi:
+            x = jnp.concatenate(x, axis=-1)
+        # plain and remat share the param tree (convs/conv{i}) so their
+        # checkpoints interchange; plain keeps the implicit-concat tuple
+        # input (the first conv consumes it directly — see ops.Conv)
+        return ops.conv_sequence(
+            self.features, self.depth, mode=self.reversible_mode, norm=False,
+            init_scheme=self.init_scheme, dtype=self.dtype, name="convs",
+        )(x, train)
 
 
 class PhiDownBlock(nn.Module):

@@ -47,6 +47,7 @@ constexpr char kMagic[5] = {'U', 'Z', 'B', 'S', '1'};
 void parallel_gather(const Store* s, const int64_t* idx, int64_t n,
                      uint8_t* out, int nthreads) {
   const int64_t rb = s->record_bytes;
+  const int64_t nrec = s->num_records;
   if (nthreads < 1) nthreads = 1;
   if (nthreads > n) nthreads = static_cast<int>(n);
   std::vector<std::thread> ts;
@@ -57,7 +58,11 @@ void parallel_gather(const Store* s, const int64_t* idx, int64_t n,
       for (;;) {
         int64_t i = next.fetch_add(1);
         if (i >= n) break;
-        std::memcpy(out + i * rb, s->data + idx[i] * rb, rb);
+        // clamp out-of-range indices: never read past the mapping
+        int64_t j = idx[i];
+        if (j < 0) j = 0;
+        if (j >= nrec) j = nrec - 1;
+        std::memcpy(out + i * rb, s->data + j * rb, rb);
       }
     });
   }
@@ -136,22 +141,48 @@ void* bs_open(const char* path) {
     ::close(fd);
     return nullptr;
   }
+  // Validate the untrusted header before trusting any of its fields: a
+  // truncated/corrupt store must fail bs_open, not overflow Store::dims[8]
+  // or read past the mapping.
+  const uint8_t dtype_code = p[5];
+  const uint8_t ndim = p[6];
+  const bool dtype_ok =
+      dtype_code == 1 || dtype_code == 2 || dtype_code == 4 || dtype_code == 8;
+  if (!dtype_ok || ndim == 0 || ndim > 8 ||
+      st.st_size < static_cast<int64_t>(8 + 8 * ndim)) {
+    munmap(base, st.st_size);
+    ::close(fd);
+    return nullptr;
+  }
+  const int64_t* dims = reinterpret_cast<const int64_t*>(p + 8);
+  int64_t rec = 1;
+  for (int i = 0; i < ndim; ++i) {
+    if (dims[i] < 0) {
+      munmap(base, st.st_size);
+      ::close(fd);
+      return nullptr;
+    }
+    if (i > 0) rec *= dims[i];
+  }
+  // dtype sizes: 1:u8 2:i16 4:i32/f32 8:f64 — code IS the itemsize
+  const int64_t num_records = dims[0];
+  const int64_t record_bytes = rec * dtype_code;
+  const int64_t header_bytes = 8 + 8 * static_cast<int64_t>(ndim);
+  if (st.st_size < header_bytes + num_records * record_bytes) {
+    munmap(base, st.st_size);
+    ::close(fd);
+    return nullptr;
+  }
   Store* s = new Store();
   s->fd = fd;
   s->base = p;
   s->file_bytes = st.st_size;
-  s->dtype_code = p[5];
-  s->ndim = p[6];
-  const int64_t* dims = reinterpret_cast<const int64_t*>(p + 8);
-  int64_t rec = 1;
-  for (int i = 0; i < s->ndim; ++i) {
-    s->dims[i] = dims[i];
-    if (i > 0) rec *= dims[i];
-  }
-  // dtype sizes: 1:u8 2:i16 4:i32/f32 8:f64 — code IS the itemsize
-  s->num_records = s->dims[0];
-  s->record_bytes = rec * s->dtype_code;
-  s->data = p + 8 + 8 * s->ndim;
+  s->dtype_code = dtype_code;
+  s->ndim = ndim;
+  for (int i = 0; i < ndim; ++i) s->dims[i] = dims[i];
+  s->num_records = num_records;
+  s->record_bytes = record_bytes;
+  s->data = p + header_bytes;
   return s;
 }
 

@@ -29,19 +29,38 @@ def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-) -> None:
+) -> bool:
     """Multi-host bring-up: call once per host BEFORE make_mesh; after it,
     jax.devices() spans all hosts, DP rides DCN between hosts and ICI
-    within (SURVEY.md §5 distributed slot). No-ops on single-process runs
-    and when already initialized."""
+    within (SURVEY.md §5 distributed slot).
+
+    Returns True if distributed init succeeded (or was already done).
+    Tolerates only the benign single-process/no-config case; an EXPLICITLY
+    requested multi-process launch that fails raises, so a misconfigured
+    cluster can't silently degrade to single-host training."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+        return True
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return True
+        if explicit:
+            raise
+        log.warning("jax.distributed.initialize failed (%s); single-process", e)
+        return False
+    except ValueError as e:
+        if explicit:
+            raise
+        log.warning("jax.distributed.initialize failed (%s); single-process", e)
+        return False
 
 
 def make_mesh(

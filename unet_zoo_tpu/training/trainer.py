@@ -16,7 +16,8 @@ TPU-first design:
   GED/NCC/Dice suite is computed on device (the reference repeats the whole
   net over a 16-image batch and loops medpy on the CPU,
   train_model.py:177-224);
-* optimizer: optax adamw(lr=1e-3, wd=1e-5) matching torch Adam semantics
+* optimizer: coupled-L2 Adam (add_decayed_weights -> scale_by_adam), the
+  exact torch.optim.Adam(lr=1e-3, weight_decay=1e-5) semantics
   (reference train_model.py:49), with ReduceLROnPlateau state threaded
   through the step (reference :50-51,134 steps it per-iteration on train
   loss — reproduced);
@@ -53,6 +54,24 @@ from unet_zoo_tpu.training.state import (
 log = logging.getLogger(__name__)
 
 
+def adam_coupled_l2(
+    learning_rate,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """torch.optim.Adam(weight_decay=wd) parity (reference train_model.py:49):
+    the L2 term is COUPLED — added to the gradient before the adaptive
+    moments — unlike AdamW's decoupled lr*wd*theta update, so training
+    dynamics match the reference exactly."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
 class Trainer:
     def __init__(
         self,
@@ -81,7 +100,7 @@ class Trainer:
         self.model = get_model(exp_config.model, **exp_config.model_kwargs())
         self.family = exp_config.model  # unet | prob_unet | phiseg | phiseg3d
 
-        self.tx = optax.inject_hyperparams(optax.adamw)(
+        self.tx = optax.inject_hyperparams(adam_coupled_l2)(
             learning_rate=exp_config.learning_rate,
             weight_decay=exp_config.weight_decay,
         )
@@ -235,8 +254,16 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train(self, data, iterations: Optional[int] = None, validate: bool = True):
+        """Run the iteration loop up to ``iterations`` (default
+        cfg.iterations) TOTAL steps. The loop counter starts from the
+        state's step, so a resumed trainer continues toward the same total
+        rather than running a full extra budget."""
         cfg = self.cfg
         n_iter = iterations if iterations is not None else cfg.iterations
+        start = int(self.state.step)
+        if start >= n_iter:
+            log.info("state already at step %d >= %d; nothing to do", start, n_iter)
+            return None
         log.info(
             "starting training: filters=%s batch=%d",
             cfg.filter_channels,
@@ -255,29 +282,32 @@ class Trainer:
             )
             train_source = loader
         last_aux = None
-        for self.iteration in range(1, n_iter + 1):
-            x_b, y_b = train_source.next_batch(cfg.batch_size)
-            self.state, aux = self._train_step(
-                self.state, jnp.asarray(x_b), jnp.asarray(y_b)
-            )
-            last_aux = aux
-            if validate and self.iteration % cfg.validation_frequency == 0:
-                self.validate(data)
-            if loader is not None and self.iteration == n_iter:
+        try:
+            for self.iteration in range(start + 1, n_iter + 1):
+                x_b, y_b = train_source.next_batch(cfg.batch_size)
+                self.state, aux = self._train_step(
+                    self.state, jnp.asarray(x_b), jnp.asarray(y_b)
+                )
+                last_aux = aux
+                if validate and self.iteration % cfg.validation_frequency == 0:
+                    self.validate(data)
+                if self.iteration % cfg.logging_frequency == 0:
+                    log.info(
+                        "iteration %d loss %.5f", self.iteration, float(aux["loss"])
+                    )
+                    self.training_writer.scalars(
+                        self.iteration,
+                        {
+                            "loss": float(aux["loss"]),
+                            "kl": float(aux["kl"]),
+                            "recon": float(aux["recon"]),
+                            "lr": float(self.state.sched.lr),
+                        },
+                    )
+        finally:
+            # an exception anywhere above must not leak the producer thread
+            if loader is not None:
                 loader.close()
-            if self.iteration % cfg.logging_frequency == 0:
-                log.info(
-                    "iteration %d loss %.5f", self.iteration, float(aux["loss"])
-                )
-                self.training_writer.scalars(
-                    self.iteration,
-                    {
-                        "loss": float(aux["loss"]),
-                        "kl": float(aux["kl"]),
-                        "recon": float(aux["recon"]),
-                        "lr": float(self.state.sched.lr),
-                    },
-                )
         log.info("finished training.")
         return last_aux
 
@@ -329,6 +359,10 @@ class Trainer:
                 "loss": loss,
                 "kl": aux["kl"],
                 "recon": aux["recon"],
+                # small int maps for TB image panels (reference
+                # _create_tensorboard_summary, train_model.py:299-331)
+                "mean_pred": mean_pred.astype(jnp.int32),
+                "sample0": pred_labels[0].astype(jnp.int32),
             }
 
         return jax.jit(fn)
@@ -372,6 +406,23 @@ class Trainer:
                 jax.random.fold_in(self.state.rng, ii),
             )
             results.append(jax.device_get(out))
+
+        # validation image panels: input / GT / mean prediction / one sample
+        # (reference _create_tensorboard_summary, train_model.py:299-331 —
+        # there the call is commented out at :129; here it's live)
+        nlab = max(cfg.n_classes - 1, 1)
+        for ii in range(min(n_val, 4)):
+            x = np.asarray(data.validation.images[ii], dtype=np.float32)
+            lo, hi = float(x.min()), float(x.max())
+            panel = [
+                (x - lo) / max(hi - lo, 1e-8),
+                np.asarray(data.validation.labels[ii])[..., 0] / nlab,
+                np.asarray(results[ii]["mean_pred"]) / nlab,
+                np.asarray(results[ii]["sample0"]) / nlab,
+            ]
+            self.validation_writer.image(
+                self.iteration, f"panel_{ii}", np.concatenate(panel, axis=1)
+            )
 
         agg = {
             k: float(np.mean([r[k] for r in results]))
@@ -429,18 +480,29 @@ class Trainer:
             )  # (1, n, D, H, W, C)
             probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
             mean_probs = jnp.mean(probs, axis=0)
+            nreg = y_onehot.shape[-1]
             dice = jnp.stack(
                 [
                     M.dice_binary(mean_probs[..., c] > 0.5, y_onehot[0, ..., c])
-                    for c in range(y_onehot.shape[-1])
+                    for c in range(nreg)
                 ]
+            )
+            # full reference metric set (data/bratsUtils.py:6-93)
+            sens = jnp.stack(
+                [M.sensitivity(mean_probs[..., c], y_onehot[0, ..., c])
+                 for c in range(nreg)]
+            )
+            spec = jnp.stack(
+                [M.specificity(mean_probs[..., c], y_onehot[0, ..., c])
+                 for c in range(nreg)]
             )
             out = self.model.apply(
                 variables, x, y_onehot, train=False, rngs={"z": key}
             )
             loss, aux = self.model.loss(out, y_onehot, variables["params"])
-            return {"dice": dice, "loss": loss, "kl": aux["kl"],
-                    "recon": aux["recon"]}
+            return {"dice": dice, "sens": sens, "spec": spec,
+                    "loss": loss, "kl": aux["kl"], "recon": aux["recon"],
+                    "pred_bin": (mean_probs > 0.5)}
 
         return jax.jit(fn)
 
@@ -460,6 +522,7 @@ class Trainer:
         eval_fn = self._val_cache[key]
         variables = jax.device_put(self.state.variables)
         results = []
+        hd95_rows = []
         for ii in range(n_val):
             img, lbl, _pid = data.get(ii, "validation")
             out = eval_fn(
@@ -468,8 +531,36 @@ class Trainer:
                 jnp.asarray(lbl)[None],
                 jax.random.fold_in(self.state.rng, ii),
             )
-            results.append(jax.device_get(out))
+            out = jax.device_get(out)
+            # HD95 per region, host-side EDT (eval-only; reference getHd95,
+            # data/bratsUtils.py:80-93)
+            pred_bin = np.asarray(out["pred_bin"])
+            lbl_np = np.asarray(lbl)
+            hd95_rows.append(
+                [M.hd95(pred_bin[..., c], lbl_np[..., c])
+                 for c in range(lbl_np.shape[-1])]
+            )
+            if ii < 2:  # mid-depth slice panel: image / GT-WT / pred-WT
+                mid = img.shape[0] // 2
+                x_sl = np.asarray(img[mid, ..., 0], dtype=np.float32)
+                lo, hi = float(x_sl.min()), float(x_sl.max())
+                panel = np.concatenate(
+                    [
+                        (x_sl - lo) / max(hi - lo, 1e-8),
+                        lbl_np[mid, ..., 0].astype(np.float32),
+                        pred_bin[mid, ..., 0].astype(np.float32),
+                    ],
+                    axis=1,
+                )
+                self.validation_writer.image(
+                    self.iteration, f"panel_{ii}", panel
+                )
+            results.append(out)
         dice_arr = np.stack([r["dice"] for r in results])  # (n, 3) WT/TC/ET
+        sens_arr = np.stack([r["sens"] for r in results])
+        spec_arr = np.stack([r["spec"] for r in results])
+        hd95_arr = np.asarray(hd95_rows)  # (n, 3); -1 where a mask was empty
+        hd95_valid = np.ma.masked_equal(hd95_arr, -1.0)
         agg = {
             "loss": float(np.mean([r["loss"] for r in results])),
             "kl": float(np.mean([r["kl"] for r in results])),
@@ -478,10 +569,21 @@ class Trainer:
             "dice_wt": float(dice_arr[:, 0].mean()),
             "dice_tc": float(dice_arr[:, 1].mean()),
             "dice_et": float(dice_arr[:, 2].mean()),
+            "sensitivity_wt": float(sens_arr[:, 0].mean()),
+            "sensitivity_tc": float(sens_arr[:, 1].mean()),
+            "sensitivity_et": float(sens_arr[:, 2].mean()),
+            "specificity_wt": float(spec_arr[:, 0].mean()),
+            "specificity_tc": float(spec_arr[:, 1].mean()),
+            "specificity_et": float(spec_arr[:, 2].mean()),
+            "hd95_wt": float(np.ma.filled(hd95_valid[:, 0].mean(), -1.0)),
+            "hd95_tc": float(np.ma.filled(hd95_valid[:, 1].mean(), -1.0)),
+            "hd95_et": float(np.ma.filled(hd95_valid[:, 2].mean(), -1.0)),
         }
         log.info(
-            "brats validation @%d: dice WT %.4f TC %.4f ET %.4f loss %.4f (%.1fs)",
+            "brats validation @%d: dice WT %.4f TC %.4f ET %.4f "
+            "sens WT %.4f spec WT %.4f hd95 WT %.2f loss %.4f (%.1fs)",
             self.iteration, agg["dice_wt"], agg["dice_tc"], agg["dice_et"],
+            agg["sensitivity_wt"], agg["specificity_wt"], agg["hd95_wt"],
             agg["loss"], time.time() - t0,
         )
         if agg["dice"] >= self.best["dice"]:
@@ -624,9 +726,22 @@ class Trainer:
             json.dump({"iteration": self.iteration, **self.best}, f)
 
     def restore(self, savename: str):
+        """Full-state resume: besides the TrainState (params/opt/sched/step/
+        rng), reload the best-metric ledger so the first post-resume
+        validation can't silently overwrite historical best_* checkpoints,
+        and realign self.iteration so train() continues toward
+        cfg.iterations instead of restarting from 1."""
         self.state = restore_checkpoint(
             os.path.join(self.log_dir, savename), self.state
         )
+        best_path = os.path.join(self.log_dir, "best_metrics.json")
+        if os.path.exists(best_path):
+            with open(best_path) as f:
+                saved = json.load(f)
+            for k in self.best:
+                if k in saved:
+                    self.best[k] = saved[k]
+        self.iteration = int(self.state.step)
 
     def _log_memory(self):
         """Peak device memory — the paper's headline metric (README.md:4);
