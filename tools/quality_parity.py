@@ -104,7 +104,8 @@ def build_data(workdir: str, size: int, splits, seed: int):
     from unet_zoo_tpu.data.lidc import LIDCData
     from unet_zoo_tpu.data.synthetic import make_lidc_cache
 
-    path = os.path.join(workdir, f"parity_lidc_{size}.hdf5")
+    tag = "x".join(str(s) for s in splits)
+    path = os.path.join(workdir, f"parity_lidc_{size}_{tag}.hdf5")
     if not os.path.exists(path):
         make_lidc_cache(path, num_per_split=splits, size=size, seed=seed)
     return LIDCData(h5py.File(path, "r"), seed=seed), path
@@ -115,15 +116,15 @@ def build_data(workdir: str, size: int, splits, seed: int):
 # ---------------------------------------------------------------------------
 
 
-def train_reference(ref, data, cfg, log):
+def train_reference(ref, data, cfg, log, seed):
     torch = ref.torch
-    torch.manual_seed(cfg.seed)
+    torch.manual_seed(seed)
     net = ref.phiseg.PHISeg(
         input_channels=1,
         num_classes=cfg.n_classes,
         num_filters=list(cfg.filters),
         latent_levels=cfg.latent_levels,
-        image_size=(cfg.size, cfg.size, 1),
+        image_size=(1, cfg.size, cfg.size),  # reference convention: (C, H, W)
     )
     net.train()
     opt = torch.optim.Adam(net.parameters(), lr=1e-3, weight_decay=1e-5)
@@ -168,12 +169,12 @@ def sample_reference(ref, net, x, n):
 # ---------------------------------------------------------------------------
 
 
-def train_ours(data, cfg, workdir, log):
+def train_ours(data, cfg, workdir, log, seed):
     from unet_zoo_tpu.experiments import ExperimentConfig
     from unet_zoo_tpu.training import Trainer
 
     exp = ExperimentConfig(
-        experiment_name="parity_ours",
+        experiment_name=f"parity_ours_s{seed}",
         model="phiseg",
         filter_channels=cfg.filters,
         latent_levels=cfg.latent_levels,
@@ -184,9 +185,11 @@ def train_ours(data, cfg, workdir, log):
         augmentation_options=None,
         validation_frequency=10**9,
         logging_frequency=100,
-        seed=cfg.seed,
+        seed=seed,
     )
-    tr = Trainer(exp, log_dir=os.path.join(workdir, "ours"), tensorboard=False)
+    tr = Trainer(
+        exp, log_dir=os.path.join(workdir, f"ours_s{seed}"), tensorboard=False
+    )
     t0 = time.time()
     tr.train(data, validate=False)
     log(f"[ours] {cfg.iterations} iters in {time.time()-t0:.0f}s")
@@ -255,13 +258,18 @@ def evaluate(samples_fn, data, cfg, n_samples, log, tag):
     }
 
 
+METRICS = ("ged", "ncc", "dice_fg", "dice")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iterations", type=int, default=800)
+    ap.add_argument("--iterations", type=int, default=2000)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--samples", type=int, default=100)
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", type=int, default=3,
+                    help="independently trained models per framework")
+    ap.add_argument("--n-test", type=int, default=16)
     ap.add_argument("--workdir", default="/tmp/quality_parity")
     ap.add_argument("--filters", default="8,16,16,16,16,16,16")
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY_QUALITY.md"))
@@ -279,39 +287,73 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     ref = load_reference()
-    data_ref, path = build_data(cfg.workdir, cfg.size,
-                                (48, 8, 8), cfg.seed)
-    data_ours, _ = build_data(cfg.workdir, cfg.size, (48, 8, 8), cfg.seed)
+    splits = (48, 8, cfg.n_test)
+    seeds = list(range(cfg.seeds))
 
-    log(f"shared cache: {path}")
-    net = train_reference(ref, data_ref, cfg, log)
-    tr = train_ours(data_ours, cfg, cfg.workdir, log)
+    res_ref, res_ours = [], []
+    for seed in seeds:
+        data, path = build_data(cfg.workdir, cfg.size, splits, seed)
+        if seed == 0:
+            log(f"shared cache: {path}")
+        net = train_reference(ref, data, cfg, log, seed)
+        res_ref.append(evaluate(
+            lambda x, ii: sample_reference(ref, net, x, cfg.samples),
+            data, cfg, cfg.samples, log, f"torch_s{seed}",
+        ))
+        del net
+    for seed in seeds:
+        data, _ = build_data(cfg.workdir, cfg.size, splits, seed)
+        tr = train_ours(data, cfg, cfg.workdir, log, seed)
+        res_ours.append(evaluate(
+            lambda x, ii: sample_ours(
+                tr, x, cfg.samples, seed=1000 * (seed + 1) + ii
+            ),
+            data, cfg, cfg.samples, log, f"ours_s{seed}",
+        ))
+        del tr
 
-    res_ref = evaluate(
-        lambda x, ii: sample_reference(ref, net, x, cfg.samples),
-        data_ref, cfg, cfg.samples, log, "torch",
-    )
-    res_ours = evaluate(
-        lambda x, ii: sample_ours(tr, x, cfg.samples, seed=1000 + ii),
-        data_ours, cfg, cfg.samples, log, "ours",
-    )
+    def agg(rows):
+        return {
+            k: (float(np.mean([r[k] for r in rows])),
+                float(np.std([r[k] for r in rows])))
+            for k in METRICS
+        }
 
-    rel = {
-        k: (res_ours[k] - res_ref[k]) / abs(res_ref[k]) if res_ref[k] else 0.0
-        for k in ("ged", "ncc", "dice_fg", "dice")
-    }
+    a_ref, a_ours = agg(res_ref), agg(res_ours)
+    rel = {k: (a_ours[k][0] - a_ref[k][0]) / abs(a_ref[k][0])
+           for k in METRICS}
+    # reference's own seed-to-seed spread, as the noise scale for the diff
+    spread = {k: a_ref[k][1] / abs(a_ref[k][0]) for k in METRICS}
     report = {
         "config": {
             "iterations": cfg.iterations, "size": cfg.size,
             "batch": cfg.batch, "samples": cfg.samples,
+            "seeds": cfg.seeds, "n_test": cfg.n_test,
             "filters": cfg.filters, "latent_levels": cfg.latent_levels,
         },
-        "reference": res_ref,
-        "ours": res_ours,
+        "reference_per_seed": res_ref,
+        "ours_per_seed": res_ours,
+        "reference": a_ref,
+        "ours": a_ours,
         "relative_diff": rel,
+        "reference_seed_spread_rel": spread,
     }
     print(json.dumps(report, indent=2))
+    with open(os.path.join(cfg.workdir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
 
+    names = {
+        "ged": f"GED @ {cfg.samples} samples",
+        "ncc": "variance-NCC",
+        "dice_fg": "foreground Dice (mean pred)",
+        "dice": "Dice (all labels)",
+    }
+    rows = "".join(
+        f"| {names[k]} | {a_ref[k][0]:.4f} ± {a_ref[k][1]:.4f} | "
+        f"{a_ours[k][0]:.4f} ± {a_ours[k][1]:.4f} | {rel[k]*100:+.2f}% | "
+        f"±{spread[k]*100:.2f}% |\n"
+        for k in METRICS
+    )
     with open(cfg.out, "w") as f:
         f.write(
             "# Trained-model quality parity (reference PyTorch vs unet_zoo_tpu)\n\n"
@@ -319,27 +361,26 @@ def main():
             "cache (`data/synthetic.py` blob dataset, 4 correlated annotators),\n"
             "same hyperparameters (Adam lr 1e-3, coupled-L2 wd 1e-5 — the\n"
             "reference's `train_model.py:49` semantics), same iteration budget,\n"
-            "augmentation off; evaluated with the SAME metric code (ours,\n"
+            f"augmentation off; {cfg.seeds} independently seeded models per\n"
+            "framework; evaluated with the SAME metric code (ours,\n"
             "parity-tested element-wise against reference `utils.py:148-247`\n"
             "in `tests/test_reference_parity.py`) at "
-            f"{cfg.samples} posterior samples over the shared test split —\n"
-            "the reference eval protocol (`train_model.py:364-366,446-447`).\n"
-            "Produced by `tools/quality_parity.py`.\n\n"
+            f"{cfg.samples} posterior samples over the shared {cfg.n_test}-image\n"
+            "test split — the reference eval protocol\n"
+            "(`train_model.py:364-366,446-447`). Values are mean ± std across\n"
+            "seeds. Produced by `tools/quality_parity.py`.\n\n"
             f"Config: {json.dumps(report['config'])}\n\n"
-            "| metric | reference (torch) | ours (TPU framework) | rel. diff |\n"
-            "|---|---|---|---|\n"
-            f"| GED @ {cfg.samples} samples | {res_ref['ged']:.4f} | "
-            f"{res_ours['ged']:.4f} | {rel['ged']*100:+.2f}% |\n"
-            f"| variance-NCC | {res_ref['ncc']:.4f} | {res_ours['ncc']:.4f} | "
-            f"{rel['ncc']*100:+.2f}% |\n"
-            f"| foreground Dice (mean pred) | {res_ref['dice_fg']:.4f} | "
-            f"{res_ours['dice_fg']:.4f} | {rel['dice_fg']*100:+.2f}% |\n"
-            f"| Dice (all labels) | {res_ref['dice']:.4f} | "
-            f"{res_ours['dice']:.4f} | {rel['dice']*100:+.2f}% |\n\n"
-            "Both models are trained from their own random initializations, so\n"
-            "residual differences reflect seed noise, not math differences (the\n"
-            "math itself is transplant-verified element-wise in\n"
-            "`tests/test_reference_parity.py`).\n"
+            "| metric | reference (torch) | ours (TPU framework) "
+            "| rel. diff of means | ref seed spread |\n"
+            "|---|---|---|---|---|\n"
+            f"{rows}\n"
+            "Both frameworks train from their own random initializations, so\n"
+            "the relevant comparison is the difference of means against each\n"
+            "side's seed-to-seed spread (right column): a diff within the\n"
+            "spread is statistically indistinguishable from reseeding the\n"
+            "reference itself. The underlying math is transplant-verified\n"
+            "element-wise in `tests/test_reference_parity.py` (forward,\n"
+            "losses, metrics bit-match the reference at equal weights).\n"
         )
     log(f"wrote {cfg.out}")
 
