@@ -97,49 +97,66 @@ def _chain_fwd_collect(params, x, train, ema_list, per_block_remat=False):
     return h, stats_out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _rev_chain_train(params, x):
-    y, stats = _chain_fwd_collect(params, x, True, None)
-    return y, stats
+def _fg_primal(p, h):
+    out, _ = _fg_apply(p, h, train=True)
+    return out
 
 
-def _rev_chain_train_fwd(params, x):
-    y, stats = _chain_fwd_collect(params, x, True, None)
-    # Residuals: ONLY the output and params — no per-block activations.
-    return (y, stats), (params, y)
+def _chain_scan_fwd(stacked, x1, x2):
+    """Coupling chain as lax.scan over depth-stacked per-block params.
+
+    The scan is the memory mechanism, not just style: it forces XLA to
+    schedule one block at a time (carry buffers reused across iterations),
+    so neither fwd nor bwd can inflate liveness by hoisting several blocks'
+    intermediates into one live set — which is exactly what the unrolled
+    python-loop version measured doing (reversible peak > plain, round 1)."""
+
+    def body(carry, p):
+        h1, h2 = carry
+        f_out, f_stats = _fg_apply(p["f"], h2, train=True)
+        y1 = h1 + f_out
+        g_out, g_stats = _fg_apply(p["g"], y1, train=True)
+        y2 = h2 + g_out
+        return (y1, y2), (f_stats, g_stats)
+
+    (y1, y2), stats = lax.scan(body, (x1, x2), stacked)
+    return y1, y2, stats
+
+
+@jax.custom_vjp
+def _rev_chain_train(stacked, x1, x2):
+    return _chain_scan_fwd(stacked, x1, x2)
+
+
+def _rev_chain_train_fwd(stacked, x1, x2):
+    y1, y2, stats = _chain_scan_fwd(stacked, x1, x2)
+    # Residuals: ONLY the outputs and params — no per-block activations.
+    return (y1, y2, stats), (stacked, y1, y2)
 
 
 def _rev_chain_train_bwd(res, cts):
-    params, y = res
-    gy, _ = cts  # stats cotangent is zero (non-differentiable path)
-    c = y.shape[-1] // 2
-    gy1, gy2 = gy[..., :c], gy[..., c:]
-    y1, y2 = y[..., :c], y[..., c:]
+    stacked, y1, y2 = res
+    gy1, gy2, _ = cts  # stats cotangent is zero (non-differentiable path)
 
-    def fg_primal(p, h):
-        out, _ = _fg_apply(p, h, train=True)
-        return out
-
-    gparams = []
-    for blk in reversed(params):
+    def body(carry, p):
+        y1, y2, gy1, gy2 = carry
         # invert: x2 = y2 - g(y1); x1 = y1 - f(x2)
-        g_out, g_vjp = jax.vjp(fg_primal, blk["g"], y1)
+        g_out, g_vjp = jax.vjp(_fg_primal, p["g"], y1)
         x2 = y2 - g_out
-        f_out, f_vjp = jax.vjp(fg_primal, blk["f"], x2)
+        f_out, f_vjp = jax.vjp(_fg_primal, p["f"], x2)
         x1 = y1 - f_out
 
         dgp, dy1_from_g = g_vjp(gy2)
         gy1_eff = gy1 + dy1_from_g
         dfp, dx2_from_f = f_vjp(gy1_eff)
         gx2 = gy2 + dx2_from_f
-        gx1 = gy1_eff
+        return (x1, x2, gy1_eff, gx2), {"f": dfp, "g": dgp}
 
-        gparams.append({"f": dfp, "g": dgp})
-        y1, y2 = x1, x2
-        gy1, gy2 = gx1, gx2
-
-    gx = jnp.concatenate([gy1, gy2], axis=-1)
-    return list(reversed(gparams)), gx
+    # reverse scan: last block first; dparams ys keep original block order
+    (_, _, gx1, gx2), dparams = lax.scan(
+        body, (y1, y2, gy1, gy2), stacked, reverse=True
+    )
+    return dparams, gx1, gx2
 
 
 _rev_chain_train.defvjp(_rev_chain_train_fwd, _rev_chain_train_bwd)
@@ -208,7 +225,18 @@ class ReversibleSequence(nn.Module):
 
         if train:
             if self.mode == "reversible" and not self.is_initializing():
-                y, stats = _rev_chain_train(params, x)
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+                y1, y2, st = _rev_chain_train(stacked, x[..., :c], x[..., c:])
+                y = jnp.concatenate([y1, y2], axis=-1)
+                # unstack (depth, C/2) scan stats back to per-block tuples
+                stats = [
+                    {
+                        fg: (st[0 if fg == "f" else 1][0][i],
+                             st[0 if fg == "f" else 1][1][i])
+                        for fg in ("f", "g")
+                    }
+                    for i in range(self.depth)
+                ]
             elif self.mode == "remat" and not self.is_initializing():
                 y, stats = _chain_fwd_collect(
                     params, x, True, None, per_block_remat=True
