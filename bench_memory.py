@@ -7,19 +7,26 @@ TPU, using XLA's compile-time memory analysis of the FULL jitted train
 step (augment + fwd + loss + bwd + Adam), LIDC 128x128 config at the
 paper's batch sizes.
 
-MEASURED FINDINGS (round 1, TPU v5e, LIDC 128x128 f32):
+MEASURED FINDINGS (round 2, TPU v5e, LIDC 128x128 f32, peak = temp+args):
 
-* "remat" (per-conv-sequence jax.checkpoint, identical parameters to
-  plain) saves 33-35% peak train-step memory at the paper's batch sizes —
-  REPRODUCING AND EXCEEDING the reference's 30% headline with the
-  XLA-idiomatic mechanism.
-* "reversible" (the literal revtorch design: additive-coupling blocks with
-  custom_vjp inverse reconstruction — a DIFFERENT architecture, as in
-  RevPHiSeg) measures ~1.4x MORE peak memory than plain at full-model
-  scale, even though isolated reversible blocks measure at 0.7-0.9x:
-  its residuals/backward are opaque to XLA, which already remats the
-  plain path at fusion level. The torch-era claim assumes a baseline with
-  no compiler rematerialization.
+| mode       | bs12 MiB | savings | bs24 MiB | savings |
+|------------|----------|---------|----------|---------|
+| plain      |   3120.4 |       — |   4471.3 |       — |
+| remat      |   1939.2 |   37.9% |   2675.9 |   40.2% |
+| reversible |   1828.1 |   41.4% |   2901.2 |   35.1% |
+
+Both mechanisms exceed the reference's 30% headline; "reversible" (the
+literal revtorch design: additive-coupling blocks with custom_vjp inverse
+reconstruction) beats remat at the paper's canonical bs12.
+
+Round-1 measured reversible at ~1.4x MORE than plain; two fixes turned
+that into 41% savings (ops/reversible.py):
+* the coupling chain is a lax.scan over depth-stacked params — the
+  unrolled loop let XLA hoist several blocks' backward residuals into one
+  live set;
+* all long-lived values (carries, custom_vjp residuals) are flat rank-1
+  buffers — C/2-channel NHWC tensors otherwise materialize with the
+  channel dim padded to 128 vector lanes (8x inflation at C/2=16).
 """
 
 from __future__ import annotations

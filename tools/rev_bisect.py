@@ -89,11 +89,40 @@ class LikStack(nn.Module):
         return jnp.sum(c.astype(jnp.float32))
 
 
+class OneSeq(nn.Module):
+    """A single sequence at a fixed channel width (in_ch set by the input)."""
+
+    mode: str
+    features: int = 32
+    depth: int = 3
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        from unet_zoo_tpu import ops
+        from unet_zoo_tpu.ops import conv_sequence
+
+        if self.mode == "reversible":
+            y = ops.ReversibleSequence(
+                self.features, depth=self.depth, mode="reversible", name="s"
+            )(x, train=train)
+        else:
+            y = conv_sequence(
+                self.features, self.depth, mode=self.mode, name="s"
+            )(x, train)
+        return jnp.sum(y.astype(jnp.float32))
+
+
 def measure(scenario: str, mode: str, batch: int, size: int):
     if scenario == "down":
         model = DownStack(mode=mode)
         x = jnp.zeros((batch, size, size, 1), jnp.float32)
         args = (x,)
+    elif scenario == "seq32":  # no initial conv in rev mode (32 -> 32)
+        model = OneSeq(mode=mode)
+        args = (jnp.zeros((batch, size, size, 32), jnp.float32),)
+    elif scenario == "seq1":  # initial conv 1 -> 32 in rev mode
+        model = OneSeq(mode=mode)
+        args = (jnp.zeros((batch, size, size, 1), jnp.float32),)
     elif scenario == "lik":
         model = LikStack(mode=mode)
         # z at latent levels: finest latent res = size/2^lvl_diff

@@ -227,10 +227,21 @@ class _PhiLikelihood(nn.Module):
                     )
                 )
             # increase_resolution (reference phiseg.py:209-221): lvl_diff
-            # upsample+conv(depth=1) stages, always non-reversible.
+            # upsample+conv(depth=1) stages, always non-reversible — but in
+            # the memory-saving modes they run under per-sequence remat:
+            # they sit at the largest resolutions, and storing their
+            # activations plainly erases part of what the reversible/remat
+            # blocks save (param tree is identical either way).
+            incres_mode = (
+                "remat" if self.reversible_mode in ("remat", "reversible")
+                else "plain"
+            )
             post_ups.append(
                 [
-                    ops.ConvSeq(feats, depth=1, dtype=self.dtype, name=f"incres{j}_{t}")
+                    ops.conv_sequence(
+                        feats, 1, mode=incres_mode, dtype=self.dtype,
+                        name=f"incres{j}_{t}",
+                    )
                     for t in range(lvl_diff)
                 ]
             )

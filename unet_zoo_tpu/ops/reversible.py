@@ -102,48 +102,61 @@ def _fg_primal(p, h):
     return out
 
 
-def _chain_scan_fwd(stacked, x1, x2):
+def _chain_scan_fwd(stacked, x1, x2, shape):
     """Coupling chain as lax.scan over depth-stacked per-block params.
 
-    The scan is the memory mechanism, not just style: it forces XLA to
-    schedule one block at a time (carry buffers reused across iterations),
-    so neither fwd nor bwd can inflate liveness by hoisting several blocks'
-    intermediates into one live set — which is exactly what the unrolled
-    python-loop version measured doing (reversible peak > plain, round 1)."""
+    Two memory mechanisms, both load-bearing (measured on TPU v5e):
+
+    * the scan forces XLA to schedule one block at a time (carry buffers
+      reused), so neither fwd nor bwd can hoist several blocks'
+      recompute/vjp intermediates into one live set — the unrolled
+      python-loop version measured reversible peak ABOVE plain;
+    * ``x1``/``x2`` and all long-lived values (carries, residuals) are
+      FLAT rank-1 arrays. The C/2-channel half-tensors would otherwise be
+      materialized in conv layouts with the channel dim padded to 128
+      lanes — an 8x inflation at C/2=16 (a depth-1 block measured 640 MiB
+      of temps vs 128 MiB for its plain twin). Rank-1 buffers are
+      padding-free; the NHWC view exists only transiently inside the scan
+      body where the convs run.
+    """
 
     def body(carry, p):
         h1, h2 = carry
-        f_out, f_stats = _fg_apply(p["f"], h2, train=True)
-        y1 = h1 + f_out
-        g_out, g_stats = _fg_apply(p["g"], y1, train=True)
-        y2 = h2 + g_out
+        f_out, f_stats = _fg_apply(p["f"], h2.reshape(shape), train=True)
+        y1 = h1 + f_out.reshape(-1)
+        g_out, g_stats = _fg_apply(p["g"], y1.reshape(shape), train=True)
+        y2 = h2 + g_out.reshape(-1)
         return (y1, y2), (f_stats, g_stats)
 
     (y1, y2), stats = lax.scan(body, (x1, x2), stacked)
     return y1, y2, stats
 
 
-@jax.custom_vjp
-def _rev_chain_train(stacked, x1, x2):
-    return _chain_scan_fwd(stacked, x1, x2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _rev_chain_train(stacked, x1, x2, shape):
+    return _chain_scan_fwd(stacked, x1, x2, shape)
 
 
-def _rev_chain_train_fwd(stacked, x1, x2):
-    y1, y2, stats = _chain_scan_fwd(stacked, x1, x2)
-    # Residuals: ONLY the outputs and params — no per-block activations.
+def _rev_chain_train_fwd(stacked, x1, x2, shape):
+    y1, y2, stats = _chain_scan_fwd(stacked, x1, x2, shape)
+    # Residuals: ONLY the (flat) outputs and params — no per-block
+    # activations.
     return (y1, y2, stats), (stacked, y1, y2)
 
 
-def _rev_chain_train_bwd(res, cts):
+def _rev_chain_train_bwd(shape, res, cts):
     stacked, y1, y2 = res
     gy1, gy2, _ = cts  # stats cotangent is zero (non-differentiable path)
+
+    def fg_flat(p, h_flat):
+        return _fg_primal(p, h_flat.reshape(shape)).reshape(-1)
 
     def body(carry, p):
         y1, y2, gy1, gy2 = carry
         # invert: x2 = y2 - g(y1); x1 = y1 - f(x2)
-        g_out, g_vjp = jax.vjp(_fg_primal, p["g"], y1)
+        g_out, g_vjp = jax.vjp(fg_flat, p["g"], y1)
         x2 = y2 - g_out
-        f_out, f_vjp = jax.vjp(_fg_primal, p["f"], x2)
+        f_out, f_vjp = jax.vjp(fg_flat, p["f"], x2)
         x1 = y1 - f_out
 
         dgp, dy1_from_g = g_vjp(gy2)
@@ -226,8 +239,16 @@ class ReversibleSequence(nn.Module):
         if train:
             if self.mode == "reversible" and not self.is_initializing():
                 stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
-                y1, y2, st = _rev_chain_train(stacked, x[..., :c], x[..., c:])
-                y = jnp.concatenate([y1, y2], axis=-1)
+                half_shape = x.shape[:-1] + (c,)
+                y1, y2, st = _rev_chain_train(
+                    stacked,
+                    x[..., :c].reshape(-1),
+                    x[..., c:].reshape(-1),
+                    half_shape,
+                )
+                y = jnp.concatenate(
+                    [y1.reshape(half_shape), y2.reshape(half_shape)], axis=-1
+                )
                 # unstack (depth, C/2) scan stats back to per-block tuples
                 stats = [
                     {
