@@ -11,6 +11,10 @@ Run on the real TPU (one job at a time — remote compiles serialize).
 from __future__ import annotations
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax
@@ -75,4 +79,11 @@ if __name__ == "__main__":
     for (H, cin, cmid) in [(128, 1, 32), (64, 32, 64), (32, 64, 128),
                            (16, 128, 192), (32, 192 + 128, 128),
                            (64, 128 + 64, 64), (128, 64 + 32, 32)]:
-        bench_block(B, H, cin, cmid)
+        try:
+            bench_block(B, H, cin, cmid)
+        except Exception as e:  # e.g. scoped-vmem OOM at large blocks
+            print(json.dumps({
+                "metric": "conv_chain_xla_vs_pallas",
+                "shape": f"{B}x{H}x{H}x{cin}->{cmid}",
+                "error": str(e).split("\n")[0][:160],
+            }), flush=True)

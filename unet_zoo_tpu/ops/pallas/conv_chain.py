@@ -16,8 +16,15 @@ bf16 tensor is 0.5 GB); this kernel keeps the whole chain VMEM-resident:
 * bias + ReLU fused into the matmul epilogue, f32 accumulation,
   bf16 storage between stages.
 
-Inference-path kernel: no autodiff rules are defined (training uses the
-XLA convs, which autodiff for free). Used by eval/sample/bench paths.
+STATUS — experimental, NOT wired into any model path. Measured against
+XLA's convs on TPU v5e at the north-star shapes (tools/bench_pallas.py,
+bs512 bf16): XLA wins at every shape that compiles (Pallas at 0.59-0.90x
+XLA's speed) and the kernel VMEM-OOMs at the 128x128 spatial shapes
+(27 MB scoped allocation vs the 16 MB limit). XLA's conv emitter is
+already MXU-optimal for these dense NHWC shapes and fuses the
+bias+ReLU epilogue on its own, so the fusion this kernel hand-builds
+buys nothing. Kept as a correct, tested (tests/test_pallas.py) example
+of the im2col-matmul Pallas pattern; no autodiff rules are defined.
 """
 
 from __future__ import annotations
