@@ -58,8 +58,95 @@ def measure_unet_fwd(batch: int = 512, n_iters: int = 16) -> float:
     return batch * n_iters / dt
 
 
+def measure_train_step(model_name: str, batch: int, n_iters: int = 8) -> float:
+    """Full jitted train step (device aug + fwd + loss + bwd + Adam +
+    plateau-LR) images/sec, scan-pipelined and fenced by value readback."""
+    import numpy as np
+
+    from unet_zoo_tpu.data.augment import AugmentOptions
+    from unet_zoo_tpu.experiments import ExperimentConfig
+    from unet_zoo_tpu.training import Trainer
+
+    cfg = ExperimentConfig(
+        experiment_name=f"bench_{model_name}_{batch}",
+        model=model_name,
+        filter_channels=(32, 64, 128, 192)
+        if model_name == "unet"
+        else (32, 64, 128, 192, 192, 192, 192),
+        latent_levels=5,
+        n_classes=2,
+        batch_size=batch,
+        image_size=(128, 128),
+        dtype="bfloat16",
+        augmentation_options=AugmentOptions(
+            do_rotations=True, do_scaleaug=True, do_fliplr=True,
+            do_flipud=True, nlabels=2,
+        ),
+    )
+    tr = Trainer(cfg, log_dir="/tmp/bench", tensorboard=False)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(
+        rng.standard_normal((n_iters, batch, 128, 128, 1)), jnp.float32
+    )
+    ys = jnp.asarray(rng.integers(0, 2, (n_iters, batch, 128, 128)), jnp.int32)
+
+    @jax.jit
+    def run(state, xs, ys):
+        def body(s, xy):
+            s, aux = tr._step_fn(s, xy[0], xy[1])
+            return s, aux["loss"]
+
+        s, losses = jax.lax.scan(body, state, (xs, ys))
+        return s, jnp.sum(losses)
+
+    s, l0 = run(tr.state, xs, ys)
+    float(l0)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s, l = run(s, xs, ys)
+        float(l)
+        times.append(time.perf_counter() - t0)
+    return batch * n_iters / min(times)
+
+
+def measure_eval100_ms(samples: int = 100) -> float:
+    """Reference quantitative protocol (train_model.py:364-366,446-447):
+    N posterior samples + GED/variance-NCC/Dice, all on device; ms/image."""
+    from unet_zoo_tpu.experiments import get_experiment
+    from unet_zoo_tpu.training import Trainer
+
+    cfg = get_experiment("phiseg_7_5_12")
+    tr = Trainer(cfg, log_dir="/tmp/bench", tensorboard=False)
+    eval_fn = tr._eval_image_fn(samples)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 128, 128, 1), jnp.float32)
+    y_all = jax.random.randint(key, (4, 128, 128), 0, 2, jnp.int32)
+    y_c = y_all[:1]
+    variables = jax.device_put(tr.state.variables)
+    out = eval_fn(variables, x, y_all, y_c, key)
+    float(out["ged"])
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        out = eval_fn(variables, x, y_all, y_c, jax.random.fold_in(key, i))
+        float(out["ged"])
+        times.append(time.perf_counter() - t0)
+    return min(times) * 1e3
+
+
 def main() -> None:
     images_per_sec = measure_unet_fwd()
+    extras = {}
+    for name, fn in (
+        ("unet_train_bs64_img_s", lambda: round(measure_train_step("unet", 64), 1)),
+        ("phiseg_train_bs12_img_s", lambda: round(measure_train_step("phiseg", 12), 1)),
+        ("phiseg_eval100_ms_per_image", lambda: round(measure_eval100_ms(100), 1)),
+    ):
+        try:
+            extras[name] = fn()
+        except Exception as e:  # the north-star line must survive any extra
+            extras[name] = f"error: {str(e).splitlines()[0][:80]}"
     print(
         json.dumps(
             {
@@ -67,6 +154,7 @@ def main() -> None:
                 "value": round(images_per_sec, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / 10_000.0, 3),
+                **extras,
             }
         )
     )

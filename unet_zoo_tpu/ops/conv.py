@@ -142,7 +142,11 @@ class ConvBNAct(nn.Module):
             )
         if self.act is not None:
             y = self.act(y)
-        return y
+        # keep activations sharded over the "space" mesh axis (no-op unless
+        # the trainer enabled spatial sharding — parallel/space.py)
+        from unet_zoo_tpu.parallel.space import constrain
+
+        return constrain(y)
 
 
 def conv_sequence(

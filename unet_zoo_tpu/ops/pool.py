@@ -57,4 +57,6 @@ def avg_pool_ceil(x, window: int = 2, stride: int = 2):
         shape = [1] * x.ndim
         shape[axis] = counts.shape[0]
         inv = inv * (1.0 / counts).reshape(shape)
-    return summed * jnp.asarray(inv, dtype=x.dtype)
+    from unet_zoo_tpu.parallel.space import constrain
+
+    return constrain(summed * jnp.asarray(inv, dtype=x.dtype))

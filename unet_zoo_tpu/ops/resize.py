@@ -82,7 +82,11 @@ def resize_linear(x, out_size, align_corners: bool):
         in_len = x.shape[axis]
         if in_len != out_len:
             x = _apply_axis_matrix(x, _linear_matrix(in_len, out_len, align_corners), axis)
-    return x
+    # re-pin the "space" sharding: GSPMD otherwise replicates after the H
+    # contraction and everything downstream stays replicated
+    from unet_zoo_tpu.parallel.space import constrain
+
+    return constrain(x)
 
 
 def upsample_linear(x, scale: int = 2, align_corners: bool = True):
@@ -106,4 +110,6 @@ def upsample_nearest(x, out_size):
             x = jnp.repeat(x, out_len // in_len, axis=axis)
         else:
             x = _apply_axis_matrix(x, _nearest_matrix(in_len, out_len), axis)
-    return x
+    from unet_zoo_tpu.parallel.space import constrain
+
+    return constrain(x)

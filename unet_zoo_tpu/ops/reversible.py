@@ -102,6 +102,11 @@ def _fg_primal(p, h):
     return out
 
 
+def _pack(h):
+    """(B, S1, *rest) flat packing: padding-free, mesh-shardable."""
+    return h.reshape(h.shape[0], h.shape[1], -1)
+
+
 def _chain_scan_fwd(stacked, x1, x2, shape):
     """Coupling chain as lax.scan over depth-stacked per-block params.
 
@@ -112,20 +117,22 @@ def _chain_scan_fwd(stacked, x1, x2, shape):
       recompute/vjp intermediates into one live set — the unrolled
       python-loop version measured reversible peak ABOVE plain;
     * ``x1``/``x2`` and all long-lived values (carries, residuals) are
-      FLAT rank-1 arrays. The C/2-channel half-tensors would otherwise be
-      materialized in conv layouts with the channel dim padded to 128
-      lanes — an 8x inflation at C/2=16 (a depth-1 block measured 640 MiB
-      of temps vs 128 MiB for its plain twin). Rank-1 buffers are
-      padding-free; the NHWC view exists only transiently inside the scan
-      body where the convs run.
+      PACKED to rank-3 (B, S1, rest). The C/2-channel half-tensors would
+      otherwise be materialized in conv layouts with the channel dim
+      padded to 128 lanes — an 8x inflation at C/2=16 (a depth-1 block
+      measured 640 MiB of temps vs 128 MiB for its plain twin). Packed
+      buffers are padding-free (the minor dim is large), and keeping the
+      batch + leading-spatial dims intact lets the ("data", "space") mesh
+      shardings propagate through the chain. The NHWC view exists only
+      transiently inside the scan body where the convs run.
     """
 
     def body(carry, p):
         h1, h2 = carry
         f_out, f_stats = _fg_apply(p["f"], h2.reshape(shape), train=True)
-        y1 = h1 + f_out.reshape(-1)
+        y1 = h1 + _pack(f_out)
         g_out, g_stats = _fg_apply(p["g"], y1.reshape(shape), train=True)
-        y2 = h2 + g_out.reshape(-1)
+        y2 = h2 + _pack(g_out)
         return (y1, y2), (f_stats, g_stats)
 
     (y1, y2), stats = lax.scan(body, (x1, x2), stacked)
@@ -149,7 +156,7 @@ def _rev_chain_train_bwd(shape, res, cts):
     gy1, gy2, _ = cts  # stats cotangent is zero (non-differentiable path)
 
     def fg_flat(p, h_flat):
-        return _fg_primal(p, h_flat.reshape(shape)).reshape(-1)
+        return _pack(_fg_primal(p, h_flat.reshape(shape)))
 
     def body(carry, p):
         y1, y2, gy1, gy2 = carry
@@ -242,13 +249,15 @@ class ReversibleSequence(nn.Module):
                 half_shape = x.shape[:-1] + (c,)
                 y1, y2, st = _rev_chain_train(
                     stacked,
-                    x[..., :c].reshape(-1),
-                    x[..., c:].reshape(-1),
+                    _pack(x[..., :c]),
+                    _pack(x[..., c:]),
                     half_shape,
                 )
-                y = jnp.concatenate(
+                from unet_zoo_tpu.parallel.space import constrain
+
+                y = constrain(jnp.concatenate(
                     [y1.reshape(half_shape), y2.reshape(half_shape)], axis=-1
-                )
+                ))
                 # unstack (depth, C/2) scan stats back to per-block tuples
                 stats = [
                     {

@@ -211,6 +211,14 @@ class Trainer:
         return loss, (aux, mut.get("batch_stats", {}))
 
     def _step_fn(self, state: TrainState, x, y):
+        # spatial-sharding constraints for the whole step's trace: no-op
+        # unless the mesh has a real "space" axis (parallel/space.py)
+        from unet_zoo_tpu.parallel.space import space_sharding
+
+        with space_sharding(self.mesh):
+            return self._step_fn_inner(state, x, y)
+
+    def _step_fn_inner(self, state: TrainState, x, y):
         cfg = self.cfg
         rng, k_aug, k_z = jax.random.split(state.rng, 3)
 
