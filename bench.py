@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 
-def measure_unet_fwd(batch: int = 512, n_iters: int = 16) -> float:
+def measure_unet_fwd(batch: int = 512, n_iters: int = 32) -> float:
     """Steady-state device throughput: n_iters distinct batches fed through
     an in-program scan (the steady state of a pipelined input feed), timed
     over repeated fully-fenced calls."""

@@ -67,7 +67,12 @@ def _apply_axis_matrix(x, mat: np.ndarray, axis: int):
     assert letters is not None, x.shape
     in_sub = letters
     out_sub = letters[:axis] + "o" + letters[axis + 1 :]
-    # HIGHEST precision: interpolation weights must not be bf16-rounded on TPU.
+    # HIGHEST precision: interpolation weights must not be bf16-rounded on
+    # TPU. Formulations measured and rejected at bench shapes (north-star
+    # fwd, bs512 bf16): rank-3 merged-trailing-dims einsum 8.9k img/s,
+    # shift+interleave scale-2 fast path 5.3k, DEFAULT precision no
+    # change — this in-place nd einsum with the W-before-H axis order
+    # (see resize_linear) is the best at 10.5k.
     return jnp.einsum(
         f"{in_sub},o{letters[axis]}->{out_sub}", x, m,
         precision=jax.lax.Precision.HIGHEST,
@@ -75,10 +80,19 @@ def _apply_axis_matrix(x, mat: np.ndarray, axis: int):
 
 
 def resize_linear(x, out_size, align_corners: bool):
-    """Bi/tri-linear resize of NHWC / NDHWC input to spatial ``out_size``."""
+    """Bi/tri-linear resize of NHWC / NDHWC input to spatial ``out_size``.
+
+    Stays on the einsum-matrix path for ALL scales: a hand-written
+    shift+interleave fast path for scale-2 half-pixel upsampling measured
+    2x SLOWER end-to-end (north-star fwd 10.1k -> 5.3k img/s) — the
+    interleave's stack+reshape lowers to worse layout churn than the
+    dot_general it replaced. Measured round 2; don't retry."""
     spatial_axes = tuple(range(1, x.ndim - 1))
     assert len(out_size) == len(spatial_axes), (out_size, x.shape)
-    for axis, out_len in zip(spatial_axes, out_size):
+    # W-then-H: the LAST contraction's dot_general output feeds the next
+    # conv, and contracting H last leaves a layout needing a whole-tensor
+    # copy (profiled 7 ms/iter at bench shapes); W-last lands conv-ready
+    for axis, out_len in reversed(list(zip(spatial_axes, out_size))):
         in_len = x.shape[axis]
         if in_len != out_len:
             x = _apply_axis_matrix(x, _linear_matrix(in_len, out_len, align_corners), axis)
