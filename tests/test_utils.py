@@ -89,3 +89,31 @@ def test_rescale_range_provider():
     xb, _ = bp.next_batch(3)
     assert xb.min() >= -1.0 - 1e-5 and xb.max() <= 1.0 + 1e-5
     assert abs(xb.min() + 1.0) < 1e-4 and abs(xb.max() - 1.0) < 1e-4
+
+
+def test_debug_helpers_match_reference_semantics():
+    """convert_to_uint8 / norm_l2 / tile_batch_for_display (reference
+    BratsProcessing/utils.py:164-167,101-110; utils.py:250-268)."""
+    import numpy as np
+
+    from unet_zoo_tpu.utils import (
+        convert_to_uint8,
+        norm_l2,
+        tile_batch_for_display,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5, 7)).astype(np.float32)
+    u = convert_to_uint8(x)
+    assert u.dtype == np.uint8 and u.min() == 0 and u.max() == 255
+
+    a, v = rng.normal(size=50), rng.normal(size=50)
+    # reference formula, computed independently
+    an = (a - a.mean()) / (a.std() * len(a))
+    vn = (v - v.mean()) / v.std()
+    assert abs(norm_l2(a, v) - np.mean(np.sqrt(an**2 + vn**2))) < 1e-6
+
+    b = rng.normal(size=(3, 4, 6, 1)).astype(np.float32)
+    strip = tile_batch_for_display(b)
+    assert strip.shape == (4, 18)
+    np.testing.assert_array_equal(strip[:, 6:12], b[1, :, :, 0])

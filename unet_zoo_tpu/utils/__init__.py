@@ -11,8 +11,11 @@ from unet_zoo_tpu.utils.postprocess import (
     convert_to_onehot,
     keep_largest_connected_components,
     l2_regularisation,
+    convert_to_uint8,
     map_image_to_intensity_range,
+    norm_l2,
     normalise_image,
+    tile_batch_for_display,
     normalise_images,
 )
 
@@ -26,7 +29,10 @@ __all__ = [
     "convert_to_onehot",
     "keep_largest_connected_components",
     "l2_regularisation",
+    "convert_to_uint8",
     "map_image_to_intensity_range",
+    "norm_l2",
     "normalise_image",
+    "tile_batch_for_display",
     "normalise_images",
 ]

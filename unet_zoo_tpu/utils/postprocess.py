@@ -73,3 +73,33 @@ def l2_regularisation(params) -> float:
         jnp.sqrt(jnp.sum(jnp.square(w.astype(jnp.float32))))
         for w in jax.tree_util.tree_leaves(params)
     )
+
+
+def convert_to_uint8(image: np.ndarray) -> np.ndarray:
+    """Min-max map to [0, 255] uint8 (reference
+    data/BratsProcessing/utils.py:164-167)."""
+    image = image - image.min()
+    image = 255.0 * np.divide(image.astype(np.float32), image.max())
+    return image.astype(np.uint8)
+
+
+def norm_l2(a: np.ndarray, v: np.ndarray) -> float:
+    """Debug helper faithfully mirroring reference
+    data/BratsProcessing/utils.py:101-110 (including its unusual
+    normalize-then-RMS-combine formula)."""
+    a = a.flatten()
+    v = v.flatten()
+    a = (a - np.mean(a)) / (np.std(a) * len(a))
+    v = (v - np.mean(v)) / np.std(v)
+    return float(np.mean(np.sqrt(a**2 + v**2)))
+
+
+def tile_batch_for_display(batch: np.ndarray) -> np.ndarray:
+    """(B, H, W[, 1]) -> (H, B*W) horizontal strip, the layout the
+    reference's matplotlib debug viewer builds (utils.py:250-268
+    ``show_tensor``; display itself is left to the caller —
+    ``plt.imshow(tile_batch_for_display(x), cmap='Greys_r')``)."""
+    batch = np.asarray(batch)
+    if batch.ndim == 4:  # drop a trailing channel dim (NHWC, C=1)
+        batch = batch.reshape(batch.shape[0], batch.shape[1], batch.shape[2])
+    return np.concatenate(list(batch), axis=1)
