@@ -139,7 +139,7 @@ def main() -> None:
     p.add_argument("--quick", action="store_true", help="skip the slow benches")
     args = p.parse_args()
 
-    from bench import measure_unet_fwd
+    from bench import measure_eval100_ms, measure_unet_fwd
 
     emit("unet_fwd_lidc128", measure_unet_fwd(), "images/sec/chip", target=10_000)
     emit("unet_train_step_bs64", bench_train_step("unet", 64), "images/sec/chip")
@@ -149,6 +149,11 @@ def main() -> None:
             "phiseg_val_16samples_ged_ncc_dice",
             bench_phiseg_val(16),
             "images/sec (full metric suite)",
+        )
+        emit(
+            "phiseg_eval_100samples_full_metrics",
+            measure_eval100_ms(100),
+            "ms/image (reference protocol, train_model.py:364-366)",
         )
     emit("native_loader_host", bench_native_loader(), "images/sec host-side")
 
