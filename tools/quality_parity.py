@@ -89,7 +89,9 @@ def load_reference():
     import importlib
 
     return types.SimpleNamespace(
-        phiseg=importlib.import_module("models.phiseg"), torch=torch
+        phiseg=importlib.import_module("models.phiseg"),
+        prob_unet=importlib.import_module("models.probabilistic_unet"),
+        torch=torch,
     )
 
 
@@ -119,13 +121,23 @@ def build_data(workdir: str, size: int, splits, seed: int):
 def train_reference(ref, data, cfg, log, seed):
     torch = ref.torch
     torch.manual_seed(seed)
-    net = ref.phiseg.PHISeg(
-        input_channels=1,
-        num_classes=cfg.n_classes,
-        num_filters=list(cfg.filters),
-        latent_levels=cfg.latent_levels,
-        image_size=(1, cfg.size, cfg.size),  # reference convention: (C, H, W)
-    )
+    if cfg.model == "prob_unet":
+        net = ref.prob_unet.ProbabilisticUnet(
+            input_channels=1,
+            num_classes=cfg.n_classes,
+            num_filters=list(cfg.filters),
+            latent_dim=cfg.latent_dim,
+            no_convs_fcomb=cfg.no_convs_fcomb,
+            beta=cfg.beta,
+        )
+    else:
+        net = ref.phiseg.PHISeg(
+            input_channels=1,
+            num_classes=cfg.n_classes,
+            num_filters=list(cfg.filters),
+            latent_levels=cfg.latent_levels,
+            image_size=(1, cfg.size, cfg.size),  # reference conv.: (C, H, W)
+        )
     net.train()
     opt = torch.optim.Adam(net.parameters(), lr=1e-3, weight_decay=1e-5)
     t0 = time.time()
@@ -147,7 +159,7 @@ def train_reference(ref, data, cfg, log, seed):
     return net
 
 
-def sample_reference(ref, net, x, n):
+def sample_reference(ref, net, x, n, model="phiseg"):
     """n prior samples for one image, reference validate/test protocol
     (train_model.py:177-186: batch-repeat, forward(training=False),
     accumulate_output softmax). Returns (n, H, W, C) softmax probs."""
@@ -160,7 +172,11 @@ def sample_reference(ref, net, x, n):
             (n, 1, x.shape[0], x.shape[1]), dtype=torch.float32
         )
         net.forward(patch, dummy_mask, training=False)
-        probs = net.accumulate_output(net.s_out_list, use_softmax=True)
+        if model == "prob_unet":
+            out = net.sample(testing=True)  # prior z -> Fcomb
+        else:
+            out = net.s_out_list
+        probs = net.accumulate_output(out, use_softmax=True)
     return probs.numpy().transpose(0, 2, 3, 1)
 
 
@@ -173,11 +189,16 @@ def train_ours(data, cfg, workdir, log, seed):
     from unet_zoo_tpu.experiments import ExperimentConfig
     from unet_zoo_tpu.training import Trainer
 
+    kw = (
+        dict(latent_dim=cfg.latent_dim, no_convs_fcomb=cfg.no_convs_fcomb,
+             beta=cfg.beta, latent_levels=1)
+        if cfg.model == "prob_unet"
+        else dict(latent_levels=cfg.latent_levels)
+    )
     exp = ExperimentConfig(
         experiment_name=f"parity_ours_s{seed}",
-        model="phiseg",
+        model=cfg.model,
         filter_channels=cfg.filters,
-        latent_levels=cfg.latent_levels,
         n_classes=cfg.n_classes,
         batch_size=cfg.batch,
         image_size=(cfg.size, cfg.size),
@@ -186,6 +207,7 @@ def train_ours(data, cfg, workdir, log, seed):
         validation_frequency=10**9,
         logging_frequency=100,
         seed=seed,
+        **kw,
     )
     tr = Trainer(
         exp, log_dir=os.path.join(workdir, f"ours_s{seed}"), tensorboard=False
@@ -263,6 +285,7 @@ METRICS = ("ged", "ncc", "dice_fg", "dice")
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="phiseg", choices=["phiseg", "prob_unet"])
     ap.add_argument("--iterations", type=int, default=2000)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
@@ -272,11 +295,17 @@ def main():
     ap.add_argument("--n-test", type=int, default=16)
     ap.add_argument("--workdir", default="/tmp/quality_parity")
     ap.add_argument("--filters", default="8,16,16,16,16,16,16")
-    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_QUALITY.md"))
+    ap.add_argument("--latent-dim", type=int, default=6)
+    ap.add_argument("--no-convs-fcomb", type=int, default=3)
+    ap.add_argument("--beta", type=float, default=1.0)
+    ap.add_argument("--out", default=None)
     cfg = ap.parse_args()
     cfg.filters = tuple(int(c) for c in cfg.filters.split(","))
     cfg.latent_levels = 5
     cfg.n_classes = 2
+    if cfg.out is None:
+        suffix = "" if cfg.model == "phiseg" else f"_{cfg.model}"
+        cfg.out = os.path.join(REPO, f"PARITY_QUALITY{suffix}.md")
     os.makedirs(cfg.workdir, exist_ok=True)
 
     def log(msg):
@@ -297,7 +326,7 @@ def main():
             log(f"shared cache: {path}")
         net = train_reference(ref, data, cfg, log, seed)
         res_ref.append(evaluate(
-            lambda x, ii: sample_reference(ref, net, x, cfg.samples),
+            lambda x, ii: sample_reference(ref, net, x, cfg.samples, cfg.model),
             data, cfg, cfg.samples, log, f"torch_s{seed}",
         ))
         del net
@@ -356,8 +385,8 @@ def main():
     )
     with open(cfg.out, "w") as f:
         f.write(
-            "# Trained-model quality parity (reference PyTorch vs unet_zoo_tpu)\n\n"
-            "Protocol: both frameworks train PHiSeg on the SAME synthetic LIDC\n"
+            f"# Trained-model quality parity: {cfg.model} (reference PyTorch vs unet_zoo_tpu)\n\n"
+            f"Protocol: both frameworks train {cfg.model} on the SAME synthetic LIDC\n"
             "cache (`data/synthetic.py` blob dataset, 4 correlated annotators),\n"
             "same hyperparameters (Adam lr 1e-3, coupled-L2 wd 1e-5 — the\n"
             "reference's `train_model.py:49` semantics), same iteration budget,\n"
