@@ -25,7 +25,13 @@ import jax.numpy as jnp
 def measure_unet_fwd(batch: int = 512, n_iters: int = 32) -> float:
     """Steady-state device throughput: n_iters distinct batches fed through
     an in-program scan (the steady state of a pipelined input feed), timed
-    over repeated fully-fenced calls."""
+    over repeated fully-fenced calls.
+
+    PROTOCOL NOTE: n_iters was 16 in round 1 and is 32 since round 2; a
+    longer in-program steady state amortizes the per-call fence more, so
+    the round-1 number (10.2k) and round>=2 numbers are not same-protocol.
+    All round>=2 numbers use n_iters=32 — keep it fixed for regression
+    comparisons (tools/bench_protocol.py measures both for the record)."""
     from unet_zoo_tpu.models.registry import get_model
 
     model = get_model(

@@ -118,11 +118,11 @@ def build_data(workdir: str, size: int, splits, seed: int):
 # ---------------------------------------------------------------------------
 
 
-def train_reference(ref, data, cfg, log, seed):
+def build_ref_net(ref, cfg, seed):
     torch = ref.torch
     torch.manual_seed(seed)
     if cfg.model == "prob_unet":
-        net = ref.prob_unet.ProbabilisticUnet(
+        return ref.prob_unet.ProbabilisticUnet(
             input_channels=1,
             num_classes=cfg.n_classes,
             num_filters=list(cfg.filters),
@@ -130,18 +130,35 @@ def train_reference(ref, data, cfg, log, seed):
             no_convs_fcomb=cfg.no_convs_fcomb,
             beta=cfg.beta,
         )
-    else:
-        net = ref.phiseg.PHISeg(
-            input_channels=1,
-            num_classes=cfg.n_classes,
-            num_filters=list(cfg.filters),
-            latent_levels=cfg.latent_levels,
-            image_size=(1, cfg.size, cfg.size),  # reference conv.: (C, H, W)
-        )
+    return ref.phiseg.PHISeg(
+        input_channels=1,
+        num_classes=cfg.n_classes,
+        num_filters=list(cfg.filters),
+        latent_levels=cfg.latent_levels,
+        image_size=(1, cfg.size, cfg.size),  # reference conv.: (C, H, W)
+    )
+
+
+def train_reference(ref, data, cfg, log, seed, net=None, ckpt_path=None):
+    torch = ref.torch
+    if net is None:
+        net = build_ref_net(ref, cfg, seed)
     net.train()
     opt = torch.optim.Adam(net.parameters(), lr=1e-3, weight_decay=1e-5)
+    start_it = 0
+    if ckpt_path is not None and os.path.exists(ckpt_path):
+        saved = torch.load(ckpt_path, weights_only=False)
+        net.load_state_dict(saved["net"])
+        opt.load_state_dict(saved["opt"])
+        if "rng" in saved:  # keep the z-stream identical across resumes
+            torch.set_rng_state(saved["rng"])
+        start_it = saved["iteration"]
+        # fast-forward the data stream so the batch sequence stays identical
+        for _ in range(start_it):
+            data.train.next_batch(cfg.batch)
+        log(f"[torch] resumed {ckpt_path} at iter {start_it}")
     t0 = time.time()
-    for it in range(1, cfg.iterations + 1):
+    for it in range(start_it + 1, cfg.iterations + 1):
         x_b, s_b = data.train.next_batch(cfg.batch)  # (B,H,W,1), (B,H,W)
         patch = torch.tensor(
             np.ascontiguousarray(x_b.transpose(0, 3, 1, 2)), dtype=torch.float32
@@ -155,29 +172,44 @@ def train_reference(ref, data, cfg, log, seed):
         if it % 100 == 0 or it == 1:
             log(f"[torch] iter {it}/{cfg.iterations} loss {float(loss):.4f} "
                 f"({time.time()-t0:.0f}s)")
+        if ckpt_path is not None and it % 100 == 0:
+            torch.save(
+                {"net": net.state_dict(), "opt": opt.state_dict(),
+                 "iteration": it, "rng": torch.get_rng_state()},
+                ckpt_path,
+            )
     net.eval()
     return net
 
 
-def sample_reference(ref, net, x, n, model="phiseg"):
+def sample_reference(ref, net, x, n, model="phiseg", chunk=25):
     """n prior samples for one image, reference validate/test protocol
     (train_model.py:177-186: batch-repeat, forward(training=False),
-    accumulate_output softmax). Returns (n, H, W, C) softmax probs."""
+    accumulate_output softmax). Returns (n, H, W, C) softmax probs.
+    Sampling is chunked so 100-sample eval at 128^2 reference widths fits
+    in host RAM."""
     torch = ref.torch
+    outs = []
     with torch.no_grad():
-        patch = torch.tensor(
+        base = torch.tensor(
             np.ascontiguousarray(x.transpose(2, 0, 1))[None], dtype=torch.float32
-        ).repeat(n, 1, 1, 1)
-        dummy_mask = torch.zeros(
-            (n, 1, x.shape[0], x.shape[1]), dtype=torch.float32
         )
-        net.forward(patch, dummy_mask, training=False)
-        if model == "prob_unet":
-            out = net.sample(testing=True)  # prior z -> Fcomb
-        else:
-            out = net.s_out_list
-        probs = net.accumulate_output(out, use_softmax=True)
-    return probs.numpy().transpose(0, 2, 3, 1)
+        done = 0
+        while done < n:
+            k = min(chunk, n - done)
+            patch = base.repeat(k, 1, 1, 1)
+            dummy_mask = torch.zeros(
+                (k, 1, x.shape[0], x.shape[1]), dtype=torch.float32
+            )
+            net.forward(patch, dummy_mask, training=False)
+            if model == "prob_unet":
+                out = net.sample(testing=True)  # prior z -> Fcomb
+            else:
+                out = net.s_out_list
+            probs = net.accumulate_output(out, use_softmax=True)
+            outs.append(probs.numpy().transpose(0, 2, 3, 1))
+            done += k
+    return np.concatenate(outs, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +217,7 @@ def sample_reference(ref, net, x, n, model="phiseg"):
 # ---------------------------------------------------------------------------
 
 
-def train_ours(data, cfg, workdir, log, seed):
+def make_ours_trainer(cfg, workdir, seed, tag="ours"):
     from unet_zoo_tpu.experiments import ExperimentConfig
     from unet_zoo_tpu.training import Trainer
 
@@ -196,7 +228,7 @@ def train_ours(data, cfg, workdir, log, seed):
         else dict(latent_levels=cfg.latent_levels)
     )
     exp = ExperimentConfig(
-        experiment_name=f"parity_ours_s{seed}",
+        experiment_name=f"parity_{tag}_s{seed}",
         model=cfg.model,
         filter_channels=cfg.filters,
         n_classes=cfg.n_classes,
@@ -209,9 +241,14 @@ def train_ours(data, cfg, workdir, log, seed):
         seed=seed,
         **kw,
     )
-    tr = Trainer(
-        exp, log_dir=os.path.join(workdir, f"ours_s{seed}"), tensorboard=False
+    return Trainer(
+        exp, log_dir=os.path.join(workdir, f"{tag}_s{seed}"), tensorboard=False
     )
+
+
+def train_ours(data, cfg, workdir, log, seed, tr=None):
+    if tr is None:
+        tr = make_ours_trainer(cfg, workdir, seed)
     t0 = time.time()
     tr.train(data, validate=False)
     log(f"[ours] {cfg.iterations} iters in {time.time()-t0:.0f}s")
@@ -283,6 +320,219 @@ def evaluate(samples_fn, data, cfg, n_samples, log, tag):
 METRICS = ("ged", "ncc", "dice_fg", "dice")
 
 
+# ---------------------------------------------------------------------------
+# paired-init protocol (round-3: resolves the BASELINE "within 1%" bar)
+# ---------------------------------------------------------------------------
+
+
+def run_paired(ref, cfg, log):
+    """Train both frameworks from the IDENTICAL initialization (torch's,
+    transplanted via tools/transplant.py) on the IDENTICAL batch/annotator
+    sequence (same-seeded provider), and compare per-pair — init variance,
+    the dominant noise source in the unpaired protocol, cancels exactly.
+
+    The residual per-pair difference is the z-sampling RNG stream plus
+    framework numerics; ``--noise-floor N`` quantifies that scale by
+    retraining the torch net itself from the SAME init and batches with a
+    different torch RNG seed: the ours-vs-torch pair diff is parity-level
+    iff it is comparable to the torch-vs-torch(z-reseeded) diff.
+
+    Stages (torch is hours on this 1-core host, ours is minutes):
+      --stage torch  train + eval torch side (+ noise floors), persist json
+      --stage ours   train + eval our side, combine, write the report
+      --stage all    both.
+    """
+    import copy
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from transplant import (
+        install_into_trainer,
+        transplant_phiseg,
+        transplant_prob_unet,
+    )
+
+    torch = ref.torch
+    splits = (48, 8, cfg.n_test)
+    state_path = os.path.join(cfg.workdir, f"paired_{cfg.model}_state.json")
+    state = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+
+    def persist():
+        with open(state_path, "w") as f:
+            json.dump(state, f, indent=2)
+
+    for seed in range(cfg.seeds):
+        skey = str(seed)
+        ent = state.setdefault(skey, {})
+        data, path = build_data(cfg.workdir, cfg.size, splits, seed)
+        log(f"[pair {seed}] cache {path}")
+        net = build_ref_net(ref, cfg, seed)
+        init_sd = copy.deepcopy(net.state_dict())
+        init_path = os.path.join(cfg.workdir, f"paired_{cfg.model}_init_s{seed}.pt")
+        if not os.path.exists(init_path):
+            torch.save(init_sd, init_path)
+        else:  # resume across invocations: reuse the persisted init exactly
+            init_sd = torch.load(init_path, weights_only=False)
+            net.load_state_dict(init_sd)
+
+        if cfg.stage in ("all", "torch"):
+            if "ref" not in ent:
+                torch.manual_seed(10_000 + seed)  # training z-stream
+                net = train_reference(
+                    ref, data, cfg, log, seed, net=net,
+                    ckpt_path=os.path.join(
+                        cfg.workdir, f"paired_{cfg.model}_ref_s{seed}.pt"
+                    ),
+                )
+                ent["ref"] = evaluate(
+                    lambda x, ii: sample_reference(
+                        ref, net, x, cfg.samples, cfg.model
+                    ),
+                    data, cfg, cfg.samples, log, f"torch_s{seed}",
+                )
+                persist()
+            for nf in range(cfg.noise_floor):
+                key = f"floor{nf}"
+                if key in ent:
+                    continue
+                data_f, _ = build_data(cfg.workdir, cfg.size, splits, seed)
+                net_f = build_ref_net(ref, cfg, seed)
+                net_f.load_state_dict(
+                    torch.load(init_path, weights_only=False)
+                )
+                torch.manual_seed(20_000 + 1000 * nf + seed)  # reseeded z only
+                net_f = train_reference(
+                    ref, data_f, cfg, log, seed, net=net_f,
+                    ckpt_path=os.path.join(
+                        cfg.workdir, f"paired_{cfg.model}_floor{nf}_s{seed}.pt"
+                    ),
+                )
+                ent[key] = evaluate(
+                    lambda x, ii: sample_reference(
+                        ref, net_f, x, cfg.samples, cfg.model
+                    ),
+                    data_f, cfg, cfg.samples, log, f"floor{nf}_s{seed}",
+                )
+                persist()
+                del net_f
+
+        if cfg.stage in ("all", "ours") and "ours" not in ent:
+            data_o, _ = build_data(cfg.workdir, cfg.size, splits, seed)
+            tr = make_ours_trainer(cfg, cfg.workdir, seed, tag="paired_ours")
+            variables = jax.device_get(tr.state.variables)
+            if cfg.model == "prob_unet":
+                params, stats = transplant_prob_unet(net, variables, cfg.filters)
+            else:
+                params, stats = transplant_phiseg(
+                    net, variables, cfg.latent_levels, cfg.filters
+                )
+            install_into_trainer(tr, params, stats)
+            tr = train_ours(data_o, cfg, cfg.workdir, log, seed, tr=tr)
+            ent["ours"] = evaluate(
+                lambda x, ii: sample_ours(
+                    tr, x, cfg.samples, seed=1000 * (seed + 1) + ii
+                ),
+                data_o, cfg, cfg.samples, log, f"ours_s{seed}",
+            )
+            persist()
+            del tr
+        del net
+
+    if cfg.stage == "torch":
+        log("torch stage complete; rerun with --stage ours to finish")
+        return
+
+    # ---- report ----
+    pairs = [state[str(s)] for s in range(cfg.seeds)
+             if "ref" in state.get(str(s), {}) and "ours" in state.get(str(s), {})]
+    if not pairs:
+        log("no completed pairs yet")
+        return
+    diffs = {k: [p["ours"][k] - p["ref"][k] for p in pairs] for k in METRICS}
+    rel = {k: [d / abs(p["ref"][k]) for d, p in zip(diffs[k], pairs)]
+           for k in METRICS}
+    floor_rel = {k: [] for k in METRICS}
+    for s in range(cfg.seeds):
+        ent = state.get(str(s), {})
+        for nf in range(cfg.noise_floor):
+            fl = ent.get(f"floor{nf}")
+            if fl and "ref" in ent:
+                for k in METRICS:
+                    floor_rel[k].append(
+                        (fl[k] - ent["ref"][k]) / abs(ent["ref"][k])
+                    )
+    report = {
+        "config": {
+            "model": cfg.model, "iterations": cfg.iterations,
+            "size": cfg.size, "batch": cfg.batch, "samples": cfg.samples,
+            "pairs": len(pairs), "n_test": cfg.n_test,
+            "filters": cfg.filters, "noise_floor_runs": cfg.noise_floor,
+        },
+        "pairs": pairs,
+        "pair_rel_diff_mean": {k: float(np.mean(rel[k])) for k in METRICS},
+        "pair_rel_diff_std": {k: float(np.std(rel[k])) for k in METRICS},
+        "z_noise_floor_rel": {
+            k: [float(v) for v in floor_rel[k]] for k in METRICS
+        },
+    }
+    print(json.dumps(report, indent=2))
+    with open(os.path.join(cfg.workdir, f"paired_{cfg.model}_report.json"),
+              "w") as f:
+        json.dump(report, f, indent=2)
+
+    names = {
+        "ged": f"GED @ {cfg.samples} samples",
+        "ncc": "variance-NCC",
+        "dice_fg": "foreground Dice (mean pred)",
+        "dice": "Dice (all labels)",
+    }
+    rows = ""
+    for k in METRICS:
+        refs = ", ".join(f"{p['ref'][k]:.4f}" for p in pairs)
+        ours = ", ".join(f"{p['ours'][k]:.4f}" for p in pairs)
+        fl = (", ".join(f"{v*100:+.2f}%" for v in floor_rel[k])
+              if floor_rel[k] else "—")
+        rows += (
+            f"| {names[k]} | {refs} | {ours} | "
+            f"{np.mean(rel[k])*100:+.2f}% ± {np.std(rel[k])*100:.2f}% | {fl} |\n"
+        )
+    out = cfg.out.replace(".md", "_paired.md")
+    with open(out, "w") as f:
+        f.write(
+            f"# Paired-init trained-model quality parity: {cfg.model}\n\n"
+            "Protocol (round-3): the torch reference net is initialized, its\n"
+            "INIT weights are transplanted verbatim into our model\n"
+            "(`tools/transplant.py`, per-layer conversion pinned by\n"
+            "`tests/test_reference_parity.py` bit-parity tests), and both\n"
+            "frameworks then train on the IDENTICAL batch + annotator\n"
+            "sequence (same-seeded provider over one shared HDF5 cache),\n"
+            "same optimizer semantics (coupled-L2 Adam lr 1e-3 wd 1e-5 =\n"
+            "reference `train_model.py:49`), augmentation off. Init\n"
+            "variance — the dominant noise in the unpaired protocol —\n"
+            "cancels exactly; the residual per-pair difference is the\n"
+            "z-sampling RNG stream + framework numerics. That residual's\n"
+            "own scale is measured directly: the 'z-noise floor' column\n"
+            "retrains the REFERENCE from the same init/batches with only\n"
+            "the torch RNG reseeded — reference-vs-itself, everything\n"
+            "controlled but z noise.\n\n"
+            f"Config: {json.dumps(report['config'])}\n\n"
+            "| metric | reference per pair | ours per pair | pair rel. diff "
+            "| torch-vs-torch z-noise floor |\n"
+            "|---|---|---|---|---|\n"
+            f"{rows}\n"
+            "Eval: GED / variance-NCC / Dice at "
+            f"{cfg.samples} posterior samples over the shared {cfg.n_test}-"
+            "image test split (reference protocol\n"
+            "`train_model.py:364-366,446-447`), same metric code for both\n"
+            "sides. Produced by `tools/quality_parity.py --paired`.\n"
+        )
+    log(f"wrote {out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="phiseg", choices=["phiseg", "prob_unet"])
@@ -299,6 +549,15 @@ def main():
     ap.add_argument("--no-convs-fcomb", type=int, default=3)
     ap.add_argument("--beta", type=float, default=1.0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--paired", action="store_true",
+                    help="paired-init protocol: transplant the torch init "
+                    "into ours, identical batch order, per-pair diffs")
+    ap.add_argument("--stage", default="all", choices=["all", "torch", "ours"],
+                    help="paired mode only: run just the torch (hours) or "
+                    "ours (minutes) half; state persists in --workdir")
+    ap.add_argument("--noise-floor", type=int, default=0,
+                    help="paired mode: extra torch runs from the same init/"
+                    "batches with reseeded z, measuring the z-noise scale")
     cfg = ap.parse_args()
     cfg.filters = tuple(int(c) for c in cfg.filters.split(","))
     cfg.latent_levels = 5
@@ -316,6 +575,9 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     ref = load_reference()
+    if cfg.paired:
+        run_paired(ref, cfg, log)
+        return
     splits = (48, 8, cfg.n_test)
     seeds = list(range(cfg.seeds))
 

@@ -19,8 +19,14 @@ bf16 tensor is 0.5 GB); this kernel keeps the whole chain VMEM-resident:
 STATUS — experimental, NOT wired into any model path. Measured against
 XLA's convs on TPU v5e at the north-star shapes (tools/bench_pallas.py,
 bs512 bf16): XLA wins at every shape that compiles (Pallas at 0.59-0.90x
-XLA's speed) and the kernel VMEM-OOMs at the 128x128 spatial shapes
-(27 MB scoped allocation vs the 16 MB limit). XLA's conv emitter is
+XLA's speed), and the 128x128-spatial shapes fail to compile at all —
+the remote-compile service used here returns only an opaque
+"tpu_compile_helper exit code 1" (recorded in BENCH_PALLAS.json), with
+the underlying compiler diagnostic swallowed by the tunnel. The likely
+cause, by the kernel's own buffer arithmetic (not an observed compiler
+message): per-program scoped VMEM at 512x128x128 with C=96 — padded
+image + double-buffered input + row-chunk patch buffer + per-stage
+outputs — totals ~27 MB, over the ~16 MB/core budget. XLA's conv emitter is
 already MXU-optimal for these dense NHWC shapes and fuses the
 bias+ReLU epilogue on its own, so the fusion this kernel hand-builds
 buys nothing. Kept as a correct, tested (tests/test_pallas.py) example

@@ -47,16 +47,30 @@ def space_sharding(mesh):
 
 
 def constrain(x):
-    """Pin a (B, H, ...) activation to ("data", "space", None, ...).
+    """Pin a batch-leading (B, H, ...) activation to ("data", "space", ...).
+
+    INVARIANT: every array routed through conv/pool/resize/reversible under
+    an active ``space_sharding`` context must be batch-leading with the
+    sharded spatial (height) dim at axis 1 — i.e. NHWC / NDHWC activations,
+    rank 4 or 5. Anything else (weight-like arrays, sample stacks with a
+    leading sample axis, …) would be pinned to a silently WRONG sharding,
+    so non-(4,5)-rank arrays fail loudly here instead. Rank <3 arrays are
+    passed through untouched (scalars/vectors carry no layout to pin).
 
     Skips tensors whose H is smaller than the space axis (deep pyramid
-    levels) and anything that isn't a batched spatial array.
+    levels — they stay replicated over "space" by design).
     """
     mesh = _MESH.get()
     if mesh is None:
         return x
     if not hasattr(x, "ndim") or x.ndim < 3:
         return x
+    if x.ndim not in (4, 5):
+        raise ValueError(
+            "space_sharding constrain() expects batch-leading NHWC/NDHWC "
+            f"activations (rank 4 or 5); got rank {x.ndim} shape {x.shape}. "
+            "Route non-activation arrays around the space_sharding context."
+        )
     space = dict(mesh.shape)["space"]
     if x.shape[1] < space:
         return x
