@@ -147,7 +147,7 @@ def prepare_data(
     """Build the HDF5 cache from raw BraTS folders (one folder per case
     containing <case>_<modality>.nii.gz and <case>_seg.nii.gz)."""
     vols = {"train": ([], [], []), "validation": ([], [], []), "test": ([], [], [])}
-    offsets = {tt: [] for tt in vols}
+    offsets = {tt: [] for tt in vols}  # (lo, hi, original shape) per case
 
     case_dirs = sorted(
         d for d in glob.glob(os.path.join(input_folder, "*")) if os.path.isdir(d)
@@ -169,11 +169,18 @@ def prepare_data(
             else None
         )
 
+        # nonzero crop box, computed up-front so (lo, hi, original shape)
+        # can be recorded for prediction reassembly regardless of whether a
+        # mask exists (the reference's validation loader records the same
+        # offsets, brats18_validation_data_loader.py:39-51)
+        orig_shape = np.asarray(img.shape[:3], dtype=np.int64)
+        coords = np.argwhere(img > 0)
+        lo = coords.min(axis=0)[:3]
+        hi = coords.max(axis=0)[:3] + 1
+        img = img[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2], :]
         if mask is not None:
-            img, mask = crop_volume_all_dim(img, mask)
-        else:
-            img, (lo, _) = crop_volume_all_dim(img)
-            offsets[tt].append(lo)
+            mask = mask[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
+        offsets[tt].append((lo, hi, orig_shape))
 
         if tuple(target_resolution) != (1.0, 1.0, 1.0):
             factors = tuple(1.0 / r for r in target_resolution)
@@ -200,9 +207,18 @@ def prepare_data(
             )
             f.create_dataset(f"pids_{tt}", data=np.asarray(vols[tt][2], dtype=np.int64))
             if keep_offsets:
-                offs = np.asarray(offsets[tt], dtype=np.int64).reshape(-1, 3)
+                lo_a = np.asarray([o[0] for o in offsets[tt]], np.int64).reshape(-1, 3)
+                hi_a = np.asarray([o[1] for o in offsets[tt]], np.int64).reshape(-1, 3)
+                sh_a = np.asarray([o[2] for o in offsets[tt]], np.int64).reshape(-1, 3)
+                # reference-named per-axis lo offsets
+                # (brats18_validation_data_loader.py:39-51) …
                 for j, name in enumerate(("xOffsets", "yOffsets", "zOffsets")):
-                    f.create_dataset(f"{name}_{tt}", data=offs[:, j])
+                    f.create_dataset(f"{name}_{tt}", data=lo_a[:, j])
+                # … plus the crop box upper corner and the original volume
+                # shape, which reassemble_to_original needs (the reference
+                # hardcodes 240x240x155 instead)
+                f.create_dataset(f"cropHi_{tt}", data=hi_a)
+                f.create_dataset(f"origShape_{tt}", data=sh_a)
     log.info("wrote BraTS cache to %s", output_file)
 
 
@@ -308,6 +324,22 @@ class BratsData:
             image = image[sx : sx + cx, sy : sy + cy, sz : sz + cz]
             labels = labels[sx : sx + cx, sy : sy + cy, sz : sz + cz]
         return image, labels, pid
+
+    def offsets(self, index: int, mode: str = "validation"):
+        """(crop_lo, crop_hi, original_shape) for `reassemble_to_original`,
+        or None when the cache was built without keep_offsets. lo comes from
+        the reference-named xOffsets/yOffsets/zOffsets datasets
+        (reference brats18_validation_data_loader.py:39-51)."""
+        if f"cropHi_{mode}" not in self.data:
+            return None
+        lo = np.asarray(
+            [self.data[f"{n}_{mode}"][index]
+             for n in ("xOffsets", "yOffsets", "zOffsets")],
+            dtype=np.int64,
+        )
+        hi = np.asarray(self.data[f"cropHi_{mode}"][index], dtype=np.int64)
+        shape = np.asarray(self.data[f"origShape_{mode}"][index], dtype=np.int64)
+        return lo, hi, shape
 
     def batch_iterator(self, batch_size: int, mode: str = "train", shuffle=True):
         """Yield (B, D, H, W, 4) image and (B, D, H, W, 3) one-hot batches."""

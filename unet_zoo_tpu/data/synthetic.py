@@ -117,9 +117,13 @@ def make_brats_cache(
     num_per_split: Tuple[int, int] = (4, 2),
     size: Tuple[int, int, int] = (32, 32, 32),
     seed: int = 0,
+    keep_offsets: bool = False,
 ) -> str:
     """HDF5 cache with the BraTS schema
-    (images_/masks_/pids_{train,validation,test}; labels in {0,1,2,4})."""
+    (images_/masks_/pids_{train,validation,test}; labels in {0,1,2,4}).
+    ``keep_offsets`` additionally writes the crop-box/original-shape
+    datasets the prediction-reassembly flow consumes (the schema
+    data.brats.prepare_data(keep_offsets=True) produces)."""
     rng = np.random.default_rng(seed)
     d, h, w = size
     with h5py.File(path, "w") as f:
@@ -137,6 +141,14 @@ def make_brats_cache(
             f.create_dataset(f"images_{tt}", data=imgs)
             f.create_dataset(f"masks_{tt}", data=masks)
             f.create_dataset(f"pids_{tt}", data=np.arange(n, dtype=np.int64))
+            if keep_offsets:
+                lo = rng.integers(0, 5, (n, 3)).astype(np.int64)
+                hi = lo + np.asarray(size)  # crop box exactly grid-sized
+                orig = hi + rng.integers(0, 4, (n, 3)).astype(np.int64)
+                for j, nm in enumerate(("xOffsets", "yOffsets", "zOffsets")):
+                    f.create_dataset(f"{nm}_{tt}", data=lo[:, j])
+                f.create_dataset(f"cropHi_{tt}", data=hi)
+                f.create_dataset(f"origShape_{tt}", data=orig)
         for name in ("images", "masks", "pids"):
             shape = {
                 "images": (0, d, h, w, 4),

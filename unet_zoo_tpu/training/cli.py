@@ -123,6 +123,13 @@ def eval_main(argv=None) -> int:
     p.add_argument("--num-repeats", type=int, default=10)
     p.add_argument("--num-samples", type=int, default=10)
     p.add_argument("--generate-images", action="store_true")
+    p.add_argument(
+        "--export-predictions",
+        action="store_true",
+        help="BraTS: write per-case .nii.gz label-map predictions "
+        "(largest-CC filtered, reassembled to the original geometry when "
+        "the cache carries crop offsets)",
+    )
     args = p.parse_args(argv)
 
     cfg = load_experiment(args.experiment)
@@ -144,4 +151,8 @@ def eval_main(argv=None) -> int:
     )
     if args.generate_images:
         trainer.generate_images(data)
+    if args.export_predictions:
+        if not (cfg.is_3d and cfg.data_loader == "brats"):
+            p.error("--export-predictions is a BraTS (3D) flow")
+        trainer.export_predictions(data)
     return 0

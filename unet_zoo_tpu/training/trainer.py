@@ -616,8 +616,21 @@ class Trainer:
         save_npz: bool = True,
     ):
         """The quantitative protocol: `num_repeats` sweeps over the test set,
-        `num_samples` prior samples each; dumps raw GED/NCC tensors to npz."""
+        `num_samples` prior samples each; dumps raw GED/NCC tensors to npz.
+
+        BraTS/3D configs dispatch to `test_brats` (one-hot WT/TC/ET labels,
+        4-channel input, per-region dice/sensitivity/specificity/HD95) —
+        the reference has no working quantitative BraTS eval at all (its
+        BraTS harness is dead code, train_model.py:277-297)."""
         cfg = self.cfg
+        if cfg.is_3d and cfg.data_loader == "brats":
+            return self.test_brats(
+                data,
+                num_repeats=num_repeats,
+                num_samples=num_samples,
+                checkpoint=checkpoint,
+                save_npz=save_npz,
+            )
         if checkpoint is not None:
             path = os.path.join(self.log_dir, checkpoint)
             if os.path.exists(path):
@@ -679,6 +692,163 @@ class Trainer:
             )
         return results
 
+    def _brats_eval_split(self, data) -> str:
+        """The faithful reference split never populates 'test'
+        (brats18_data_loader.py:22-29 can only return train/validation), so
+        quantitative eval falls back to the validation split when the test
+        split is empty."""
+        if data.num_examples("test") > 0:
+            return "test"
+        log.info("BraTS test split is empty; evaluating the validation split")
+        return "validation"
+
+    def test_brats(
+        self,
+        data,
+        num_repeats: int = 10,
+        num_samples: int = 10,
+        checkpoint: Optional[str] = "best_loss",
+        save_npz: bool = True,
+    ):
+        """Quantitative BraTS sweep: `num_repeats` passes over the eval
+        split, `num_samples` prior samples each; per-region (WT/TC/ET)
+        dice / sensitivity / specificity on device + HD95 on host
+        (metric semantics: reference data/bratsUtils.py:6-93), raw tensors
+        dumped to brats_test_results.npz."""
+        cfg = self.cfg
+        if checkpoint is not None:
+            path = os.path.join(self.log_dir, checkpoint)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"checkpoint '{checkpoint}' not found in {self.log_dir}"
+                )
+            self.state = restore_checkpoint(path, self.state)
+        key = ("brats", num_samples)
+        if key not in self._val_cache:
+            self._val_cache[key] = self._eval_volume_fn(num_samples)
+        eval_fn = self._val_cache[key]
+        split = self._brats_eval_split(data)
+        n_vols = data.num_examples(split)
+        variables = jax.device_put(self.state.variables)
+        nreg = cfg.n_classes
+        dice = np.zeros((num_repeats, n_vols, nreg))
+        sens = np.zeros((num_repeats, n_vols, nreg))
+        spec = np.zeros((num_repeats, n_vols, nreg))
+        hd95 = np.zeros((num_repeats, n_vols, nreg))
+        t0 = time.time()
+        for rep in range(num_repeats):
+            for ii in range(n_vols):
+                img, lbl, _pid = data.get(ii, split)
+                out = jax.device_get(
+                    eval_fn(
+                        variables,
+                        jnp.asarray(img)[None],
+                        jnp.asarray(lbl)[None],
+                        jax.random.fold_in(
+                            self.state.rng, rep * n_vols + ii
+                        ),
+                    )
+                )
+                dice[rep, ii] = out["dice"]
+                sens[rep, ii] = out["sens"]
+                spec[rep, ii] = out["spec"]
+                pred_bin = np.asarray(out["pred_bin"])
+                lbl_np = np.asarray(lbl)
+                hd95[rep, ii] = [
+                    M.hd95(pred_bin[..., c], lbl_np[..., c])
+                    for c in range(nreg)
+                ]
+        hd95_valid = np.ma.masked_equal(hd95, -1.0)
+        results = {
+            "dice": (float(dice.mean()), float(dice.std())),
+            "dice_per_region": dice.mean(axis=(0, 1)).tolist(),
+            "sensitivity_per_region": sens.mean(axis=(0, 1)).tolist(),
+            "specificity_per_region": spec.mean(axis=(0, 1)).tolist(),
+            "hd95_per_region": [
+                float(np.ma.filled(hd95_valid[:, :, c].mean(), -1.0))
+                for c in range(nreg)
+            ],
+            "seconds": time.time() - t0,
+        }
+        log.info(
+            "brats test (%s split): dice %.4f±%.4f per-region %s hd95 %s",
+            split,
+            *results["dice"],
+            np.round(results["dice_per_region"], 4),
+            np.round(results["hd95_per_region"], 2),
+        )
+        if save_npz:
+            np.savez(
+                os.path.join(self.log_dir, "brats_test_results.npz"),
+                dice=dice,
+                sensitivity=sens,
+                specificity=spec,
+                hd95=hd95,
+            )
+        return results
+
+    def export_predictions(
+        self,
+        data,
+        num_samples: int = 10,
+        out_dir: Optional[str] = None,
+        split: Optional[str] = None,
+    ):
+        """BraTS prediction export: mean prediction -> BraTS label map
+        (ET=4, TC\\ET=1, WT\\TC=2 — inverse of the WT/TC/ET one-hot,
+        bratsDataset.py:125-131) -> largest connected component per label
+        (reference BratsProcessing/utils.py:228-249) -> reassembled into
+        the ORIGINAL volume geometry when the cache carries crop offsets
+        (reference brats18_validation_data_loader.py:39-51) -> .nii.gz."""
+        from unet_zoo_tpu.data.brats import reassemble_to_original
+        from unet_zoo_tpu.utils.nii import save_nii
+        from unet_zoo_tpu.utils.postprocess import (
+            keep_largest_connected_components,
+        )
+
+        cfg = self.cfg
+        out_dir = out_dir or os.path.join(self.log_dir, "predictions")
+        os.makedirs(out_dir, exist_ok=True)
+        split = split or self._brats_eval_split(data)
+        key = ("brats", num_samples)
+        if key not in self._val_cache:
+            self._val_cache[key] = self._eval_volume_fn(num_samples)
+        eval_fn = self._val_cache[key]
+        variables = jax.device_put(self.state.variables)
+        paths = []
+        for ii in range(data.num_examples(split)):
+            img, lbl, pid = data.get(ii, split)
+            out = jax.device_get(
+                eval_fn(
+                    variables,
+                    jnp.asarray(img)[None],
+                    jnp.asarray(lbl)[None],
+                    jax.random.fold_in(self.state.rng, ii),
+                )
+            )
+            wt, tc, et = (np.asarray(out["pred_bin"][..., c]) for c in range(3))
+            labels = np.zeros(wt.shape, np.uint8)
+            labels[wt] = 2
+            labels[tc] = 1
+            labels[et] = 4
+            labels = keep_largest_connected_components(labels)
+            offs = data.offsets(ii, split)
+            if offs is not None:
+                lo, hi, orig_shape = offs
+                labels = reassemble_to_original(
+                    labels, tuple(orig_shape), tuple(lo), tuple(hi)
+                )
+            else:
+                log.info(
+                    "no crop offsets in cache; exporting pid %d on the "
+                    "preprocessed %s grid", pid, labels.shape,
+                )
+            path = os.path.join(out_dir, f"prediction_{pid}.nii.gz")
+            save_nii(path, labels.astype(np.uint8))
+            paths.append(path)
+        log.info("wrote %d predictions to %s", len(paths), out_dir)
+        return paths
+
     # ------------------------------------------------------------------
     # image generation (reference train_model.py:477-555)
     # ------------------------------------------------------------------
@@ -687,19 +857,20 @@ class Trainer:
         self, data, num_samples: int = 10, out_dir: Optional[str] = None,
         max_images: Optional[int] = 10,
     ):
+        """Sample PNG dumps per test image (reference train_model.py:477-555,
+        2D only there). 3D/BraTS configs write mid-depth slices: the flair
+        channel, the GT whole-tumor mask, and each sample's WT prediction."""
         from PIL import Image
 
         out_dir = out_dir or os.path.join(self.log_dir, "samples")
         os.makedirs(out_dir, exist_ok=True)
         cfg = self.cfg
+        is_brats = cfg.is_3d and cfg.data_loader == "brats"
         variables = jax.device_put(self.state.variables)
         sample_fn = jax.jit(
             partial(self.model.apply, train=False, method=self.model.sample),
             static_argnums=(2,),  # the sample count sets a vmap axis size
         )
-        n = data.test.images.shape[0]
-        if max_images is not None:
-            n = min(n, max_images)
 
         def to_png(arr, path):
             arr = np.asarray(arr, dtype=np.float32)
@@ -707,6 +878,40 @@ class Trainer:
             arr = (arr - lo) / max(hi - lo, 1e-8)
             Image.fromarray((arr * 255).astype(np.uint8)).save(path)
 
+        if is_brats:
+            split = self._brats_eval_split(data)
+            n = data.num_examples(split)
+            if max_images is not None:
+                n = min(n, max_images)
+            for ii in range(n):
+                img, lbl, _pid = data.get(ii, split)
+                logits = sample_fn(
+                    variables,
+                    jnp.asarray(img)[None],
+                    num_samples,
+                    rngs={"z": jax.random.fold_in(self.state.rng, ii)},
+                )  # (1, n, D, H, W, C)
+                probs = jax.nn.softmax(
+                    logits[0].astype(jnp.float32), axis=-1
+                )
+                preds_wt = np.asarray(probs[..., 0] > 0.5)  # (n, D, H, W)
+                mid = img.shape[0] // 2
+                to_png(img[mid, ..., -1], os.path.join(out_dir, f"img_{ii}.png"))
+                to_png(
+                    np.asarray(lbl)[mid, ..., 0],
+                    os.path.join(out_dir, f"gt_{ii}.png"),
+                )
+                for s in range(num_samples):
+                    to_png(
+                        preds_wt[s, mid],
+                        os.path.join(out_dir, f"sample_{ii}_{s}.png"),
+                    )
+            log.info("wrote 3D slice PNGs to %s", out_dir)
+            return out_dir
+
+        n = data.test.images.shape[0]
+        if max_images is not None:
+            n = min(n, max_images)
         for ii in range(n):
             x = np.asarray(data.test.images[ii], dtype=np.float32)
             logits = sample_fn(
