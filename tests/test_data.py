@@ -330,6 +330,67 @@ def test_host_augmentation_matches_semantics():
     assert not np.allclose(out_i, imgs)  # something actually happened
 
 
+def test_host_3d_augmentation_semantics():
+    """Reference augment3DImage chain on the host (slice-wise cv2 with
+    shared per-volume params, BratsProcessing/augmentation.py:12-105)."""
+    from unet_zoo_tpu.data.augment import Augment3DOptions
+    from unet_zoo_tpu.data.augment_host import (
+        augment_batch_host_3d,
+        host_augmentation_available,
+    )
+
+    if not host_augmentation_available():
+        pytest.skip("cv2 unavailable")
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 8, 16, 16, 4)).astype(np.float32)
+    lbls = (rng.uniform(size=(2, 8, 16, 16, 3)) > 0.5).astype(np.float32)
+    opts = Augment3DOptions(
+        do_rotate=True, do_scale=True, do_elastic=True, do_flip=True,
+        do_intensity_shift=True,
+    )
+    out_i, out_l = augment_batch_host_3d(imgs, lbls, opts, np.random.default_rng(1))
+    assert out_i.shape == imgs.shape and out_l.shape == lbls.shape
+    assert np.isfinite(out_i).all()
+    # soft one-hot labels stay within [0, 1] under linear warps
+    assert out_l.min() >= 0.0 and out_l.max() <= 1.0 + 1e-6
+    assert not np.allclose(out_i, imgs)
+
+    # intensity shift alone: per-channel constant offset, identical geometry
+    shift_only = Augment3DOptions(
+        do_rotate=False, do_scale=False, do_elastic=False, do_flip=False,
+        do_intensity_shift=True,
+    )
+    s_i, s_l = augment_batch_host_3d(imgs, lbls, shift_only, np.random.default_rng(2))
+    np.testing.assert_array_equal(s_l, lbls)
+    delta = s_i - imgs
+    for b in range(2):
+        for c in range(4):
+            d = delta[b, ..., c]
+            assert np.allclose(d, d.flat[0], atol=1e-6)
+            assert abs(d.flat[0]) <= 0.1 + 1e-6
+
+
+def test_host_3d_int_labels_nearest():
+    from unet_zoo_tpu.data.augment import Augment3DOptions
+    from unet_zoo_tpu.data.augment_host import (
+        augment_batch_host_3d,
+        host_augmentation_available,
+    )
+
+    if not host_augmentation_available():
+        pytest.skip("cv2 unavailable")
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 6, 12, 12, 1)).astype(np.float32)
+    lbls = rng.integers(0, 3, (2, 6, 12, 12)).astype(np.int32)
+    opts = Augment3DOptions(
+        do_rotate=True, do_scale=True, do_elastic=True, do_flip=True,
+        do_intensity_shift=False, onehot_labels=False,
+    )
+    out_i, out_l = augment_batch_host_3d(imgs, lbls, opts, np.random.default_rng(3))
+    assert out_l.shape == lbls.shape and out_l.dtype == lbls.dtype
+    assert set(np.unique(out_l)).issubset({0, 1, 2})
+
+
 def test_prefetching_loader_over_provider():
     from unet_zoo_tpu.data.augment_host import (
         PrefetchingLoader,

@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from unet_zoo_tpu.data.augment import AugmentOptions
+from unet_zoo_tpu.data.augment import Augment3DOptions, AugmentOptions
 
 try:
     import cv2
@@ -116,6 +116,139 @@ def _augment_one(img, lbl, opts: AugmentOptions, seed: int):
     return np.ascontiguousarray(img), np.ascontiguousarray(lbl)
 
 
+# ---------------------------------------------------------------------------
+# 3D (BraTS) chain — the reference's augment3DImage executed on the host
+# ---------------------------------------------------------------------------
+
+
+def _keep_shape(fn, arr):
+    """cv2 squeezes trailing singleton channel dims; restore them."""
+    out = fn(arr)
+    if out.ndim < arr.ndim:
+        out = out[..., None]
+    return out
+
+
+def _augment_one_3d_host(img, lbl, opts: Augment3DOptions, seed: int):
+    """One (D, H, W, C) volume + (D, H, W, L) soft one-hot labels — the
+    reference's slice-wise cv2 chain with shared per-volume parameters
+    (reference BratsProcessing/augmentation.py:12-105: rotate BORDER_REPLICATE,
+    scale via per-slice resize + centre pad(background)/crop, 3x3-coarse
+    elastic warp BORDER_REFLECT, per-channel intensity shift, 3-axis flips).
+
+    Labels follow the soft scheme (augmentation.py nnAug=False: linear
+    interpolation of the one-hot channels, zero background —
+    bratsDataset.py:46-47), matching the device path's convention."""
+    rng = np.random.default_rng(seed)
+    img = np.ascontiguousarray(img, dtype=np.float32).copy()
+    squeeze_lbl = lbl.ndim == 3  # int labels without channel dim
+    lblf = (
+        lbl[..., None].astype(np.float32)
+        if squeeze_lbl
+        else np.ascontiguousarray(lbl, dtype=np.float32)
+    ).copy()
+    depth, n_h, n_w = img.shape[:3]
+    default_img = img[0, 0, 0, :].copy()  # reference defaultPerChannel
+    lbl_interp = cv2.INTER_NEAREST if squeeze_lbl else cv2.INTER_LINEAR
+
+    if opts.do_rotate:
+        angle = rng.uniform(-opts.rot_degrees, opts.rot_degrees)
+        m = cv2.getRotationMatrix2D((n_w / 2, n_h / 2), angle, 1)
+
+        def rot(sl, interp):
+            return cv2.warpAffine(
+                sl, m, (n_w, n_h), flags=interp,
+                borderMode=cv2.BORDER_REPLICATE,
+            )
+
+        for z in range(depth):
+            img[z] = _keep_shape(lambda s: rot(s, cv2.INTER_LINEAR), img[z])
+            lblf[z] = _keep_shape(lambda s: rot(s, lbl_interp), lblf[z])
+
+    if opts.do_scale:
+        scale = rng.uniform(1.0 / opts.scale_factor, opts.scale_factor)
+        m_h, m_w = round(n_h * scale), round(n_w * scale)
+
+        def rescale(sl, interp, background):
+            scaled = _keep_shape(
+                lambda s: cv2.resize(s, (m_w, m_h), interpolation=interp), sl
+            )
+            if scale < 1:  # centre pad with the background value
+                out = np.ones((n_h, n_w, sl.shape[-1]), np.float32) * background
+                oy, ox = (n_h - m_h) // 2, (n_w - m_w) // 2
+                out[oy : oy + m_h, ox : ox + m_w] = scaled
+                return out
+            oy, ox = (m_h - n_h) // 2, (m_w - n_w) // 2
+            return scaled[oy : oy + n_h, ox : ox + n_w]
+
+        for z in range(depth):
+            img[z] = rescale(img[z], cv2.INTER_LINEAR, default_img)
+            lblf[z] = rescale(lblf[z], lbl_interp, 0.0)
+
+    if opts.do_elastic:
+        dx = cv2.resize(
+            rng.normal(0, opts.elastic_sigma, (3, 3)).astype(np.float32),
+            (n_w, n_h), interpolation=cv2.INTER_CUBIC,
+        )
+        dy = cv2.resize(
+            rng.normal(0, opts.elastic_sigma, (3, 3)).astype(np.float32),
+            (n_w, n_h), interpolation=cv2.INTER_CUBIC,
+        )
+        gx, gy = np.meshgrid(
+            np.arange(n_w, dtype=np.float32), np.arange(n_h, dtype=np.float32)
+        )
+        mx, my = gx + dx, gy + dy
+
+        def warp(sl, interp):
+            return cv2.remap(
+                sl, mx, my, interpolation=interp,
+                borderMode=cv2.BORDER_REFLECT,
+            )
+
+        for z in range(depth):
+            img[z] = _keep_shape(lambda s: warp(s, cv2.INTER_LINEAR), img[z])
+            lblf[z] = _keep_shape(lambda s: warp(s, lbl_interp), lblf[z])
+
+    if opts.do_intensity_shift:
+        img += rng.uniform(
+            -opts.max_intensity_shift, opts.max_intensity_shift,
+            img.shape[-1],
+        ).astype(np.float32)
+
+    if opts.do_flip:
+        for ax in range(3):
+            if rng.random() < 0.5:
+                img = np.flip(img, axis=ax)
+                lblf = np.flip(lblf, axis=ax)
+
+    out_lbl = lblf[..., 0].astype(lbl.dtype) if squeeze_lbl else lblf
+    return np.ascontiguousarray(img), np.ascontiguousarray(out_lbl)
+
+
+def augment_batch_host_3d(
+    images: np.ndarray,
+    labels: np.ndarray,
+    opts: Augment3DOptions,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """images: (B, D, H, W, C); labels: (B, D, H, W, L) one-hot float or
+    (B, D, H, W) int. Per-volume cv2 chain on the thread pool."""
+    assert cv2 is not None, "cv2 unavailable; use device augmentation"
+    seed_root = int(rng.integers(0, 2**31)) if rng is not None else 0
+    results = list(
+        _pool().map(
+            lambda i: _augment_one_3d_host(
+                images[i], labels[i], opts, seed_root + i
+            ),
+            range(images.shape[0]),
+        )
+    )
+    return (
+        np.stack([r[0] for r in results]).astype(images.dtype),
+        np.stack([r[1] for r in results]).astype(labels.dtype),
+    )
+
+
 _POOL: Optional[ThreadPoolExecutor] = None
 
 
@@ -160,8 +293,10 @@ class PrefetchingLoader:
     loop never blocks forever on a dead producer."""
 
     def __init__(self, provider, batch_size: int,
-                 opts: Optional[AugmentOptions] = None,
+                 opts=None,
                  rng: Optional[np.random.Generator] = None, depth: int = 2):
+        """``opts``: AugmentOptions (2D chain) or Augment3DOptions (BraTS
+        slice-wise chain) — dispatched per batch in the producer thread."""
         import queue
         import threading
 
@@ -179,7 +314,9 @@ class PrefetchingLoader:
         while not self._stop.is_set():
             try:
                 x, y = self.provider.next_batch(self.batch_size)
-                if self.opts is not None:
+                if isinstance(self.opts, Augment3DOptions):
+                    x, y = augment_batch_host_3d(x, y, self.opts, self.rng)
+                elif self.opts is not None:
                     x, y = augment_batch_host(x, y, self.opts, self.rng)
                 item = ("batch", (x, y))
             except BaseException as exc:  # surface to the consumer

@@ -279,13 +279,16 @@ class Trainer:
         )
         train_source = data.train
         loader = None
-        if cfg.augment_on == "host" and cfg.augmentation_options is not None:
+        host_opts = (
+            cfg.augmentation_options_3d if cfg.is_3d else cfg.augmentation_options
+        )
+        if cfg.augment_on == "host" and host_opts is not None:
             from unet_zoo_tpu.data.augment_host import PrefetchingLoader
 
             loader = PrefetchingLoader(
                 data.train,
                 cfg.batch_size,
-                opts=cfg.augmentation_options,
+                opts=host_opts,
                 rng=self.host_rng,
             )
             train_source = loader
