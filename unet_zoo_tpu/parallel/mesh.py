@@ -106,3 +106,40 @@ def shard_label_spec(mesh: Mesh, label_rank: int) -> P:
     if mesh.shape["space"] > 1:
         return P("data", "space", *(None,) * max(0, label_rank - 2))
     return P("data", *(None,) * max(0, label_rank - 1))
+
+
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Block until every process reaches this barrier (no-op
+    single-process). Rides the jax.distributed COORDINATION service (gRPC
+    key-value store), not the device collective fabric — so it is safe to
+    call before any collective has established its context, and its timeout
+    is independent of the collective backend's (Gloo's context bring-up
+    allows only ~30 s between the first and last participant; aligning
+    processes here first keeps heavily-skewed hosts — slow imports, cold
+    caches — from blowing that window). Also the right fence around
+    process-0-only filesystem work (checkpoint write, then barrier, then
+    everyone reads)."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def host_to_global(mesh: Mesh, spec: P, x) -> jax.Array:
+    """Build a global jax.Array on a (possibly multi-process) mesh from a
+    host ndarray that every process holds in full: each process fills only
+    its ADDRESSABLE shards (make_array_from_callback slices per device), so
+    no process touches devices it doesn't own — the multi-host twin of
+    device_put. With a replicated spec this is how the (identically
+    seeded) train state becomes a global replicated array; with
+    batch_spec/shard_label_spec it is the per-step batch feed
+    (SURVEY.md §5 "host-local sharded data loading feeding per-shard
+    device_put").
+
+    Every process must pass the same global value (the Trainer guarantees
+    this by seeding each process's provider identically)."""
+    x = np.asarray(x)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])

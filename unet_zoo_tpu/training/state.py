@@ -52,22 +52,42 @@ class TrainState:
 # ---------------------------------------------------------------------------
 
 
-def save_checkpoint(path: str, state: TrainState) -> None:
-    """Write the full state under `path` (directory)."""
+def _checkpointer():
+    """Single-process: plain PyTreeCheckpointer. Multi-process: orbax's
+    default checkpointer runs sync_global_devices barriers expecting EVERY
+    process to call save/restore — but the Trainer deliberately saves from
+    process 0 alone (the state is fully replicated; others' copies are
+    bit-identical). Scope orbax's coordination to just the calling process
+    so the save is genuinely local."""
     import orbax.checkpoint as ocp
 
+    if jax.process_count() > 1:
+        from orbax.checkpoint import options as oopts
+
+        pid = jax.process_index()
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=oopts.MultiprocessingOptions(
+                primary_host=pid,
+                active_processes={pid},
+                barrier_sync_key_prefix=f"local{pid}",
+            ),
+        )
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Write the full state under `path` (directory). Multi-process callers
+    must pass an already host-local (localized) state — see
+    Trainer._localize_tree."""
     path = os.path.abspath(path)
-    ckpt = ocp.PyTreeCheckpointer()
-    ckpt.save(path, jax.device_get(state), force=True)
+    _checkpointer().save(path, jax.device_get(state), force=True)
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     """Restore into the structure of `template` (needed for dtypes/shapes)."""
-    import orbax.checkpoint as ocp
-
     path = os.path.abspath(path)
-    ckpt = ocp.PyTreeCheckpointer()
-    restored = ckpt.restore(path, item=jax.device_get(template))
+    restored = _checkpointer().restore(path, item=jax.device_get(template))
     return jax.tree_util.tree_map(jnp.asarray, restored)
 
 

@@ -126,24 +126,39 @@ class Trainer:
         }
         self.host_rng = np.random.default_rng(seed)
         self.mesh = mesh
+        # multi-host layout (SURVEY.md §5): every process runs this same
+        # Trainer; process 0 owns checkpoints/metrics, batches are global
+        # arrays assembled from each process's addressable shards
+        self._is_main = jax.process_index() == 0
+        self._multiprocess = mesh is not None and jax.process_count() > 1
         if mesh is None:
             self._train_step = jax.jit(self._step_fn, donate_argnums=0)
         else:
             from unet_zoo_tpu.parallel.mesh import (
                 batch_spec,
+                host_to_global,
                 replicated,
                 shard_label_spec,
             )
-            from jax.sharding import NamedSharding
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = replicated(mesh)
-            xs = NamedSharding(mesh, batch_spec(mesh, len(exp_config.image_size)))
+            self._batch_spec = batch_spec(mesh, len(exp_config.image_size))
             label_rank = 1 + len(exp_config.image_size) + (
                 1 if (exp_config.model == "phiseg3d"
                       and exp_config.data_loader == "brats") else 0
             )
-            ys = NamedSharding(mesh, shard_label_spec(mesh, label_rank))
-            self.state = jax.device_put(self.state, repl)
+            self._label_spec = shard_label_spec(mesh, label_rank)
+            xs = NamedSharding(mesh, self._batch_spec)
+            ys = NamedSharding(mesh, self._label_spec)
+            if self._multiprocess:
+                # device_put can't reach other hosts' devices; build global
+                # replicated arrays from the identically-seeded local state
+                self.state = jax.tree_util.tree_map(
+                    lambda a: host_to_global(mesh, P(), a), self.state
+                )
+            else:
+                self.state = jax.device_put(self.state, repl)
             self._train_step = jax.jit(
                 self._step_fn,
                 donate_argnums=0,
@@ -167,7 +182,7 @@ class Trainer:
             path = os.path.join(self.log_dir, exp_config.pretrained_model)
             if os.path.exists(path):
                 log.info("loading pretrained model %s", path)
-                self.state = restore_checkpoint(path, self.state)
+                self._restore_state(path)
             else:
                 # missing-file fallback continues fresh (reference :63-67)
                 log.info("pretrained %s not found; training from scratch", path)
@@ -175,6 +190,39 @@ class Trainer:
     # ------------------------------------------------------------------
     # construction helpers
     # ------------------------------------------------------------------
+
+    def _localize_tree(self, tree):
+        """Multi-process: map every non-fully-addressable (global) leaf to
+        its first local shard as numpy. All Trainer global arrays are fully
+        REPLICATED, so the local shard IS the full value; device_get on a
+        multi-process array instead tries to touch remote buffers (it even
+        spins up a fresh collective context) and deadlocks when the other
+        processes aren't participating."""
+
+        def localize(a):
+            if isinstance(a, jax.Array) and not a.is_fully_addressable:
+                return np.asarray(a.addressable_data(0))
+            return a
+
+        if not self._multiprocess:
+            return tree
+        return jax.tree_util.tree_map(localize, tree)
+
+    def _restore_state(self, path: str) -> None:
+        """restore_checkpoint + (multi-host) re-globalization: orbax hands
+        back host-local arrays, which a multi-process jit cannot consume —
+        every process restores the same bytes and rebuilds the replicated
+        global arrays (template is localized first: device_get on global
+        arrays cannot run per-process)."""
+        self.state = restore_checkpoint(path, self._localize_tree(self.state))
+        if self._multiprocess:
+            from jax.sharding import PartitionSpec as P
+
+            from unet_zoo_tpu.parallel.mesh import host_to_global
+
+            self.state = jax.tree_util.tree_map(
+                lambda a: host_to_global(self.mesh, P(), a), self.state
+            )
 
     def _dummy_batch(self):
         cfg = self.cfg
@@ -296,13 +344,27 @@ class Trainer:
         try:
             for self.iteration in range(start + 1, n_iter + 1):
                 x_b, y_b = train_source.next_batch(cfg.batch_size)
-                self.state, aux = self._train_step(
-                    self.state, jnp.asarray(x_b), jnp.asarray(y_b)
-                )
+                if self._multiprocess:
+                    # every process draws the IDENTICAL global batch (same
+                    # provider seed); each contributes only its addressable
+                    # shards to the global array (parallel/mesh.py
+                    # host_to_global) — no cross-host data motion
+                    from unet_zoo_tpu.parallel.mesh import host_to_global
+
+                    x_in = host_to_global(self.mesh, self._batch_spec, x_b)
+                    y_in = host_to_global(self.mesh, self._label_spec, y_b)
+                else:
+                    x_in, y_in = jnp.asarray(x_b), jnp.asarray(y_b)
+                self.state, aux = self._train_step(self.state, x_in, y_in)
                 last_aux = aux
                 if validate and self.iteration % cfg.validation_frequency == 0:
-                    self.validate(data)
-                if self.iteration % cfg.logging_frequency == 0:
+                    # multi-host: params are replicated, so process 0
+                    # validates alone on its local replica (no collectives
+                    # -> no cross-process sync hazard); others keep training
+                    # state in lockstep by simply skipping
+                    if not self._multiprocess or self._is_main:
+                        self.validate(data)
+                if self.iteration % cfg.logging_frequency == 0 and self._is_main:
                     log.info(
                         "iteration %d loss %.5f", self.iteration, float(aux["loss"])
                     )
@@ -325,6 +387,13 @@ class Trainer:
     # ------------------------------------------------------------------
     # validation (reference train_model.py:138-275)
     # ------------------------------------------------------------------
+
+    def _local_variables(self):
+        """Host-local copy of the model variables (see _localize_tree) —
+        validation/eval then run purely locally (no collectives), which
+        lets process 0 evaluate alone while the others keep training in
+        lockstep."""
+        return self._localize_tree(self.state.variables)
 
     def _eval_image_fn(self, n_samples: int):
         """Jitted: (variables, x (1,*S,C), y_all (A,*S), y_chosen (1,*S), key)
@@ -401,7 +470,7 @@ class Trainer:
             if cfg.annotator_range is not None
             else list(range(cfg.num_labels_per_subject))
         )
-        variables = jax.device_put(self.state.variables)
+        variables = jax.device_put(self._local_variables())
         results = []
         for ii in range(n_val):
             x = np.asarray(data.validation.images[ii], dtype=np.float32)
@@ -531,7 +600,7 @@ class Trainer:
         if key not in self._val_cache:
             self._val_cache[key] = self._eval_volume_fn(cfg.validation_samples)
         eval_fn = self._val_cache[key]
-        variables = jax.device_put(self.state.variables)
+        variables = jax.device_put(self._local_variables())
         results = []
         hd95_rows = []
         for ii in range(n_val):
@@ -637,7 +706,7 @@ class Trainer:
         if checkpoint is not None:
             path = os.path.join(self.log_dir, checkpoint)
             if os.path.exists(path):
-                self.state = restore_checkpoint(path, self.state)
+                self._restore_state(path)
             else:
                 raise FileNotFoundError(
                     f"checkpoint '{checkpoint}' not found in {self.log_dir}"
@@ -653,7 +722,7 @@ class Trainer:
             else list(range(cfg.num_labels_per_subject))
         )
         n_images = data.test.images.shape[0]
-        variables = jax.device_put(self.state.variables)
+        variables = jax.device_put(self._local_variables())
         ged_mat = np.zeros((num_repeats, n_images))
         ncc_mat = np.zeros((num_repeats, n_images))
         dice_mat = np.zeros((num_repeats, n_images, cfg.n_classes))
@@ -725,14 +794,14 @@ class Trainer:
                 raise FileNotFoundError(
                     f"checkpoint '{checkpoint}' not found in {self.log_dir}"
                 )
-            self.state = restore_checkpoint(path, self.state)
+            self._restore_state(path)
         key = ("brats", num_samples)
         if key not in self._val_cache:
             self._val_cache[key] = self._eval_volume_fn(num_samples)
         eval_fn = self._val_cache[key]
         split = self._brats_eval_split(data)
         n_vols = data.num_examples(split)
-        variables = jax.device_put(self.state.variables)
+        variables = jax.device_put(self._local_variables())
         nreg = cfg.n_classes
         dice = np.zeros((num_repeats, n_vols, nreg))
         sens = np.zeros((num_repeats, n_vols, nreg))
@@ -817,7 +886,7 @@ class Trainer:
         if key not in self._val_cache:
             self._val_cache[key] = self._eval_volume_fn(num_samples)
         eval_fn = self._val_cache[key]
-        variables = jax.device_put(self.state.variables)
+        variables = jax.device_put(self._local_variables())
         paths = []
         for ii in range(data.num_examples(split)):
             img, lbl, pid = data.get(ii, split)
@@ -869,7 +938,7 @@ class Trainer:
         os.makedirs(out_dir, exist_ok=True)
         cfg = self.cfg
         is_brats = cfg.is_3d and cfg.data_loader == "brats"
-        variables = jax.device_put(self.state.variables)
+        variables = jax.device_put(self._local_variables())
         sample_fn = jax.jit(
             partial(self.model.apply, train=False, method=self.model.sample),
             static_argnums=(2,),  # the sample count sets a vmap axis size
@@ -937,7 +1006,15 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def save_model(self, savename: str):
-        save_checkpoint(os.path.join(self.log_dir, savename), self.state)
+        """Write the full-state checkpoint. Multi-host: the state is fully
+        replicated, so process 0 alone writes (the others' copies are
+        bit-identical — writing from every process would race on the same
+        files)."""
+        if not self._is_main:
+            return
+        save_checkpoint(
+            os.path.join(self.log_dir, savename), self._localize_tree(self.state)
+        )
         with open(os.path.join(self.log_dir, "best_metrics.json"), "w") as f:
             json.dump({"iteration": self.iteration, **self.best}, f)
 
@@ -947,9 +1024,7 @@ class Trainer:
         validation can't silently overwrite historical best_* checkpoints,
         and realign self.iteration so train() continues toward
         cfg.iterations instead of restarting from 1."""
-        self.state = restore_checkpoint(
-            os.path.join(self.log_dir, savename), self.state
-        )
+        self._restore_state(os.path.join(self.log_dir, savename))
         best_path = os.path.join(self.log_dir, "best_metrics.json")
         if os.path.exists(best_path):
             with open(best_path) as f:
