@@ -44,7 +44,7 @@ def _program_flops(compiled, scan_iters: int = 1) -> float | None:
         return None
 
 
-def measure_unet_fwd(batch: int = 512, n_iters: int = 32) -> float:
+def measure_unet_fwd(batch: int = 512, n_iters: int = 32) -> tuple:
     """Steady-state device throughput: n_iters distinct batches fed through
     an in-program scan (the steady state of a pipelined input feed), timed
     over repeated fully-fenced calls.

@@ -141,7 +141,10 @@ def main() -> None:
 
     from bench import measure_eval100_ms, measure_unet_fwd
 
-    emit("unet_fwd_lidc128", measure_unet_fwd(), "images/sec/chip", target=10_000)
+    fwd_img_s, fwd_mfu = measure_unet_fwd()
+    emit("unet_fwd_lidc128", fwd_img_s, "images/sec/chip", target=10_000)
+    if fwd_mfu is not None:
+        emit("unet_fwd_mfu", round(fwd_mfu, 3), "fraction of v5e bf16 peak")
     emit("unet_train_step_bs64", bench_train_step("unet", 64), "images/sec/chip")
     emit("phiseg_train_step_bs12", bench_train_step("phiseg", 12), "images/sec/chip")
     if not args.quick:
