@@ -428,3 +428,31 @@ def test_trainer_host_augmentation_path(tmp_path):
     aux = tr.train(data, validate=False)
     assert np.isfinite(float(aux["loss"]))
     assert int(tr.state.step) == 3
+
+
+def test_matmul_warp_matches_gather():
+    """The MXU tap-weight-matmul warp (_gather_bilinear_mm) is numerically
+    the same bilinear resample as the map_coordinates 4-tap gather it
+    replaced (round-3 device-augmentation rewrite), including the
+    zero-padding border convention, at arbitrary float coords."""
+    from unet_zoo_tpu.data.augment import _gather_bilinear, _gather_bilinear_mm
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.standard_normal((24, 20, 3)).astype(np.float32))
+    # in-range, out-of-range (border), and exact-integer (flip/identity) coords
+    coords = jnp.asarray(
+        np.stack([
+            rng.uniform(-2.0, 25.5, (24, 20)),
+            rng.uniform(-2.0, 21.5, (24, 20)),
+        ]).astype(np.float32)
+    )
+    ref = _gather_bilinear(img, coords)
+    got = _gather_bilinear_mm(img, coords)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    ident = jnp.stack(
+        jnp.meshgrid(jnp.arange(24.0), jnp.arange(20.0), indexing="ij")
+    )
+    np.testing.assert_allclose(
+        np.asarray(_gather_bilinear_mm(img, ident)), np.asarray(img), atol=0
+    )
