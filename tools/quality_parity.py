@@ -420,26 +420,61 @@ def run_paired(ref, cfg, log):
                 persist()
                 del net_f
 
-        if cfg.stage in ("all", "ours") and "ours" not in ent:
-            data_o, _ = build_data(cfg.workdir, cfg.size, splits, seed)
-            tr = make_ours_trainer(cfg, cfg.workdir, seed, tag="paired_ours")
-            variables = jax.device_get(tr.state.variables)
-            if cfg.model == "prob_unet":
-                params, stats = transplant_prob_unet(net, variables, cfg.filters)
-            else:
-                params, stats = transplant_phiseg(
-                    net, variables, cfg.latent_levels, cfg.filters
+        if cfg.stage in ("all", "ours"):
+            # transplant the INIT weights — net may hold the trained state
+            # after an in-pass torch stage (train_reference mutates it)
+            net_init = build_ref_net(ref, cfg, seed)
+            net_init.load_state_dict(torch.load(init_path, weights_only=False))
+
+            def _fresh_transplanted(tag, trainer_seed):
+                tr = make_ours_trainer(cfg, cfg.workdir, trainer_seed, tag=tag)
+                variables = jax.device_get(tr.state.variables)
+                if cfg.model == "prob_unet":
+                    params, stats = transplant_prob_unet(
+                        net_init, variables, cfg.filters
+                    )
+                else:
+                    params, stats = transplant_phiseg(
+                        net_init, variables, cfg.latent_levels, cfg.filters
+                    )
+                install_into_trainer(tr, params, stats)
+                return tr
+
+            if "ours" not in ent:
+                data_o, _ = build_data(cfg.workdir, cfg.size, splits, seed)
+                tr = _fresh_transplanted("paired_ours", seed)
+                tr = train_ours(data_o, cfg, cfg.workdir, log, seed, tr=tr)
+                ent["ours"] = evaluate(
+                    lambda x, ii: sample_ours(
+                        tr, x, cfg.samples, seed=1000 * (seed + 1) + ii
+                    ),
+                    data_o, cfg, cfg.samples, log, f"ours_s{seed}",
                 )
-            install_into_trainer(tr, params, stats)
-            tr = train_ours(data_o, cfg, cfg.workdir, log, seed, tr=tr)
-            ent["ours"] = evaluate(
-                lambda x, ii: sample_ours(
-                    tr, x, cfg.samples, seed=1000 * (seed + 1) + ii
-                ),
-                data_o, cfg, cfg.samples, log, f"ours_s{seed}",
-            )
-            persist()
-            del tr
+                persist()
+                del tr
+
+            # ours-side z-noise floor: OUR framework retrained from the same
+            # init/batches with only the jax z-stream (and eval z) reseeded —
+            # the cheap (minutes-on-TPU) twin of the torch --noise-floor
+            for nf in range(cfg.ours_noise_floor):
+                key = f"ours_floor{nf}"
+                if key in ent:
+                    continue
+                data_f, _ = build_data(cfg.workdir, cfg.size, splits, seed)
+                tr_f = _fresh_transplanted(
+                    "paired_ours_floor", seed + 7000 * (nf + 1)
+                )
+                tr_f = train_ours(data_f, cfg, cfg.workdir, log, seed, tr=tr_f)
+                ent[key] = evaluate(
+                    lambda x, ii: sample_ours(
+                        tr_f, x, cfg.samples,
+                        seed=9000 * (nf + 1) + 1000 * (seed + 1) + ii,
+                    ),
+                    data_f, cfg, cfg.samples, log, f"ours_floor{nf}_s{seed}",
+                )
+                persist()
+                del tr_f
+            del net_init
         del net
 
     if cfg.stage == "torch":
@@ -456,6 +491,7 @@ def run_paired(ref, cfg, log):
     rel = {k: [d / abs(p["ref"][k]) for d, p in zip(diffs[k], pairs)]
            for k in METRICS}
     floor_rel = {k: [] for k in METRICS}
+    ours_floor_rel = {k: [] for k in METRICS}
     for s in range(cfg.seeds):
         ent = state.get(str(s), {})
         for nf in range(cfg.noise_floor):
@@ -465,12 +501,20 @@ def run_paired(ref, cfg, log):
                     floor_rel[k].append(
                         (fl[k] - ent["ref"][k]) / abs(ent["ref"][k])
                     )
+        for nf in range(cfg.ours_noise_floor):
+            fl = ent.get(f"ours_floor{nf}")
+            if fl and "ours" in ent:
+                for k in METRICS:
+                    ours_floor_rel[k].append(
+                        (fl[k] - ent["ours"][k]) / abs(ent["ours"][k])
+                    )
     report = {
         "config": {
             "model": cfg.model, "iterations": cfg.iterations,
             "size": cfg.size, "batch": cfg.batch, "samples": cfg.samples,
             "pairs": len(pairs), "n_test": cfg.n_test,
             "filters": cfg.filters, "noise_floor_runs": cfg.noise_floor,
+            "ours_noise_floor_runs": cfg.ours_noise_floor,
             "ours_platform": cfg.ours_platform,
         },
         "pairs": pairs,
@@ -478,6 +522,9 @@ def run_paired(ref, cfg, log):
         "pair_rel_diff_std": {k: float(np.std(rel[k])) for k in METRICS},
         "z_noise_floor_rel": {
             k: [float(v) for v in floor_rel[k]] for k in METRICS
+        },
+        "z_noise_floor_rel_ours": {
+            k: [float(v) for v in ours_floor_rel[k]] for k in METRICS
         },
     }
     print(json.dumps(report, indent=2))
@@ -497,9 +544,12 @@ def run_paired(ref, cfg, log):
         ours = ", ".join(f"{p['ours'][k]:.4f}" for p in pairs)
         fl = (", ".join(f"{v*100:+.2f}%" for v in floor_rel[k])
               if floor_rel[k] else "—")
+        ofl = (", ".join(f"{v*100:+.2f}%" for v in ours_floor_rel[k])
+               if ours_floor_rel[k] else "—")
         rows += (
             f"| {names[k]} | {refs} | {ours} | "
-            f"{np.mean(rel[k])*100:+.2f}% ± {np.std(rel[k])*100:.2f}% | {fl} |\n"
+            f"{np.mean(rel[k])*100:+.2f}% ± {np.std(rel[k])*100:.2f}% | {fl} |"
+            f" {ofl} |\n"
         )
     out = cfg.out.replace(".md", "_paired.md")
     with open(out, "w") as f:
@@ -519,11 +569,13 @@ def run_paired(ref, cfg, log):
             "own scale is measured directly: the 'z-noise floor' column\n"
             "retrains the REFERENCE from the same init/batches with only\n"
             "the torch RNG reseeded — reference-vs-itself, everything\n"
-            "controlled but z noise.\n\n"
+            "controlled but z noise. The 'ours-vs-ours' floor is the same\n"
+            "control run inside OUR framework (reseeded jax z-stream),\n"
+            "used where torch retraining is prohibitive on this host.\n\n"
             f"Config: {json.dumps(report['config'])}\n\n"
             "| metric | reference per pair | ours per pair | pair rel. diff "
-            "| torch-vs-torch z-noise floor |\n"
-            "|---|---|---|---|---|\n"
+            "| torch-vs-torch z-noise floor | ours-vs-ours z-noise floor |\n"
+            "|---|---|---|---|---|---|\n"
             f"{rows}\n"
             "Eval: GED / variance-NCC / Dice at "
             f"{cfg.samples} posterior samples over the shared {cfg.n_test}-"
@@ -559,6 +611,11 @@ def main():
     ap.add_argument("--noise-floor", type=int, default=0,
                     help="paired mode: extra torch runs from the same init/"
                     "batches with reseeded z, measuring the z-noise scale")
+    ap.add_argument("--ours-noise-floor", type=int, default=0,
+                    help="paired mode: extra OUR-side runs from the same "
+                    "init/batches with reseeded jax z — the cheap "
+                    "(minutes-on-TPU) twin of --noise-floor for configs "
+                    "where torch retraining is prohibitive")
     ap.add_argument("--ours-platform", default="cpu", choices=["cpu", "tpu"],
                     help="platform for the jax side. cpu = bit-stable "
                     "host run; tpu = the real chip (the shipping "
