@@ -51,7 +51,10 @@ def _fg_apply(p, x, *, train: bool, ema: Optional[Any] = None):
         padding=[(1, 1)] * ndim,
         dimension_numbers=_dim_numbers(ndim),
     ).astype(x.dtype)
-    y = y + p["bias"]
+    # stop_gradient: the bias grad is ~0 through the train-mode BN below
+    # (its backward projects out per-channel cotangent means); skipping it
+    # deletes a whole-cotangent convert+reduce per conv (ops/conv.py note).
+    y = y + lax.stop_gradient(p["bias"])
     yf = y.astype(jnp.float32)
     if train:
         axes = tuple(range(y.ndim - 1))
