@@ -7,6 +7,7 @@ stubs (GED, Dice — test/test_scores.py:53-58).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -123,6 +124,24 @@ class TestNCC:
         want = np.mean([np_ncc(e_ss, e_sy[j]) for j in range(M)])
         got = metrics.variance_ncc_dist(jnp.asarray(samples), jnp.asarray(gts))
         np.testing.assert_allclose(float(got), want, rtol=1e-4)
+
+    @pytest.mark.parametrize("C", [2, 3])
+    def test_class_first_variant_matches(self, rng, C):
+        """variance_ncc_dist_class_first (the TPU lane-padding-free layout
+        used by Trainer._eval_image_fn) computes the same scalar as the
+        channel-last form."""
+        N, M, H, W = 6, 4, 8, 8
+        raw = rng.rand(N, H, W, C) + 1e-3
+        samples = raw / raw.sum(-1, keepdims=True)
+        gt_lbl = rng.randint(0, C, size=(M, H, W))
+        gts = np.stack([(gt_lbl == c) for c in range(C)], -1).astype(np.float32)
+
+        want = metrics.variance_ncc_dist(jnp.asarray(samples), jnp.asarray(gts))
+        got = metrics.variance_ncc_dist_class_first(
+            jnp.asarray(np.moveaxis(samples, -1, 0)),
+            jnp.asarray(np.moveaxis(gts, -1, 0)),
+        )
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
 
 
 class TestDice:

@@ -8,7 +8,11 @@ fused reduction, so a 100-sample GED is a single device call.
 """
 
 from unet_zoo_tpu.metrics.ged import generalised_energy_distance, pairwise_iou_distance
-from unet_zoo_tpu.metrics.ncc import variance_ncc_dist, ncc
+from unet_zoo_tpu.metrics.ncc import (
+    variance_ncc_dist,
+    variance_ncc_dist_class_first,
+    ncc,
+)
 from unet_zoo_tpu.metrics.dice import dice_per_label, dice_binary
 from unet_zoo_tpu.metrics.brats import (
     soft_dice,
@@ -22,6 +26,7 @@ __all__ = [
     "generalised_energy_distance",
     "pairwise_iou_distance",
     "variance_ncc_dist",
+    "variance_ncc_dist_class_first",
     "ncc",
     "dice_per_label",
     "dice_binary",
