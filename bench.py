@@ -2,7 +2,13 @@
 """North-star benchmark (BASELINE.json): U-Net forward throughput on
 LIDC-shaped 128x128 single-channel batches, images/sec/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the north-star JSON line {"metric", "value", "unit", "vs_baseline"}
+IMMEDIATELY after the first measurement (flushed — a driver timeout during
+the extras still leaves a parseable record; round-3's rc=124 left none),
+then re-prints a superset line with the extra metrics at the end. Extras
+run under a wall-clock budget (``BENCH_BUDGET_S``, default 480 s measured
+from process start): any extra not yet started when the budget is spent is
+recorded as "skipped_budget" instead of risking the driver window.
 vs_baseline is measured/10_000 (the >=10k img/s/chip target — the reference
 publishes no throughput numbers, SURVEY.md §6).
 
@@ -11,15 +17,25 @@ scalar is fetched each call — through the remote-TPU tunnel used here,
 ``block_until_ready`` acks dispatch without completion, so only a value
 readback actually fences execution. Calls are pipelined (enqueue all, then
 fetch) so tunnel round-trip latency doesn't pollute the device number.
+Compiled programs are persisted in a JAX compilation cache
+(``/tmp/jax_cache``) so repeat invocations skip the 1–17-min remote
+compiles entirely.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
+
+_T_START = time.time()
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 # v5e peak dense bf16 throughput (the BASELINE.json target hardware);
 # MFU figures below are achieved-FLOPs / this peak (round-2 VERDICT Weak
@@ -162,31 +178,28 @@ def measure_train_step_host_aug(
     can't live inside jit), steps are enqueued without fencing (the remote
     tunnel acks dispatch immediately) and the final loss readback fences.
     This is the round-3 alternative to the device-aug path (VERDICT #4:
-    device gathers cost ~35 ms/step at bs64)."""
+    device gathers cost ~35 ms/step at bs64). The provider is the REAL
+    h5py BatchProvider over an on-disk LIDC-schema cache — the number
+    includes the blocking HDF5 read cost real training pays (round-3
+    VERDICT Weak #5: the old in-memory stand-in flattered the host path)."""
+    import h5py
     import numpy as np
 
     from unet_zoo_tpu.data.augment_host import PrefetchingLoader
+    from unet_zoo_tpu.data.lidc import LIDCData
+    from unet_zoo_tpu.data.synthetic import make_lidc_cache
     from unet_zoo_tpu.training import Trainer
 
     cfg = _bench_cfg(model_name, batch, augment="host")
     tr = Trainer(cfg, log_dir="/tmp/bench", tensorboard=False)
-    rng = np.random.default_rng(0)
 
-    class _Provider:
-        """In-memory stand-in for BatchProvider.next_batch."""
-
-        def __init__(self):
-            self.x = rng.standard_normal((256, 128, 128)).astype(np.float32)
-            self.y = rng.integers(0, 2, (256, 128, 128)).astype(np.uint8)
-            self.i = 0
-
-        def next_batch(self, bs):
-            idx = (np.arange(bs) + self.i) % 256
-            self.i += bs
-            return self.x[idx][..., None], self.y[idx].astype(np.int32)
-
+    cache = "/tmp/bench/bench_lidc128.hdf5"
+    if not os.path.exists(cache):
+        os.makedirs("/tmp/bench", exist_ok=True)
+        make_lidc_cache(cache, num_per_split=(256, 2, 2), size=128)
+    data = LIDCData(h5py.File(cache, "r"), seed=0)
     loader = PrefetchingLoader(
-        _Provider(), batch, opts=cfg.augmentation_options,
+        data.train, batch, opts=cfg.augmentation_options,
         rng=np.random.default_rng(0),
     )
     try:
@@ -235,7 +248,18 @@ def measure_eval100_ms(samples: int = 100) -> float:
 
 
 def main() -> None:
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
     images_per_sec, fwd_mfu = measure_unet_fwd()
+    north_star = {
+        "metric": "unet_fwd_lidc128_images_per_sec_per_chip",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / 10_000.0, 3),
+    }
+    # The driver's record of the round: print NOW, before any extra can eat
+    # the timeout window (round-3 lesson: rc=124 left parsed=null).
+    print(json.dumps(north_star), flush=True)
+
     extras = {}
     if fwd_mfu is not None:
         extras["unet_fwd_mfu"] = round(fwd_mfu, 3)
@@ -265,21 +289,16 @@ def main() -> None:
             },
         ),
     ):
+        if time.time() - _T_START > budget_s:
+            extras[name] = "skipped_budget"
+            continue
         try:
             extras.update(fn())
         except Exception as e:  # the north-star line must survive any extra
             extras[name] = f"error: {str(e).splitlines()[0][:80]}"
-    print(
-        json.dumps(
-            {
-                "metric": "unet_fwd_lidc128_images_per_sec_per_chip",
-                "value": round(images_per_sec, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(images_per_sec / 10_000.0, 3),
-                **extras,
-            }
-        )
-    )
+    # Superset line: drivers that parse the LAST JSON line get everything;
+    # a timeout mid-extras leaves the north-star line above as the record.
+    print(json.dumps({**north_star, **extras}), flush=True)
 
 
 if __name__ == "__main__":

@@ -8,7 +8,9 @@ Covers the protocols the reference actually exercises (SURVEY.md §6):
 * phiseg_val_image    — 16-posterior-sample validation incl. on-device
                         GED/variance-NCC/Dice (reference train_model.py:138-275
                         does this on CPU via medpy)
-* native_loader       — host-side input pipeline images/sec
+* h5py/native_loader  — host-side input pipeline A/B on the same HDF5
+                        cache: reference-style blocking h5py reads vs the
+                        C++ mmap store's prefetching gather
 
 Run: python bench_all.py [--quick]
 """
@@ -106,30 +108,44 @@ def bench_phiseg_val(samples: int = 16):
     return 1.0 / min(times)
 
 
-def bench_native_loader():
+def bench_loaders_hdf5(n: int = 2000, B: int = 128):
+    """A/B the two train-loader paths on the SAME HDF5 cache (VERDICT r3
+    #4: the native store must be refereed on the real data path, not a
+    synthetic in-memory provider): LIDC-schema file, h5py BatchProvider
+    (the reference's blocking fancy-index read,
+    /root/reference/data/batch_provider.py:58-59) vs loader='native'
+    (C++ mmap store, thread-pool gather, one batch prefetched ahead).
+    Returns (h5py images/sec, native images/sec)."""
     import os
     import tempfile
 
-    from unet_zoo_tpu.native import BatchStore, NativeBatchProvider, write_store
+    import h5py
+
+    from unet_zoo_tpu.data.lidc import LIDCData
+    from unet_zoo_tpu.data.synthetic import make_lidc_cache
 
     tmp = tempfile.mkdtemp()
-    rng = np.random.default_rng(0)
-    n, B = 2000, 128
-    X = rng.standard_normal((n, 128, 128)).astype(np.float32)
-    y = rng.integers(0, 2, (n, 128, 128, 4)).astype(np.uint8)
-    xs = BatchStore(write_store(os.path.join(tmp, "x.bin"), X), np.float32, nthreads=8)
-    ys = BatchStore(write_store(os.path.join(tmp, "y.bin"), y), np.uint8, nthreads=8)
-    bp = NativeBatchProvider(xs, ys, np.arange(n), batch_size=B,
-                             num_labels_per_subject=4)
-    for _ in range(3):
-        bp.next_batch()
-    t0 = time.perf_counter()
-    iters = 30
-    for _ in range(iters):
-        bp.next_batch()
-    dt = (time.perf_counter() - t0) / iters
-    bp.close()
-    return B / dt
+    cache = os.path.join(tmp, "data_lidc.hdf5")
+    make_lidc_cache(cache, num_per_split=(n, 2, 2), size=128)
+
+    def run(loader):
+        d = LIDCData(
+            h5py.File(cache, "r"), seed=0, loader=loader,
+            batch_size=B if loader == "native" else None,
+        )
+        try:
+            for _ in range(3):
+                d.train.next_batch(B)
+            iters = 30
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                d.train.next_batch(B)
+            return B * iters / (time.perf_counter() - t0)
+        finally:
+            if loader == "native":
+                d.train.close()
+
+    return run("h5py"), run("native")
 
 
 def main() -> None:
@@ -158,7 +174,9 @@ def main() -> None:
             measure_eval100_ms(100),
             "ms/image (reference protocol, train_model.py:364-366)",
         )
-    emit("native_loader_host", bench_native_loader(), "images/sec host-side")
+    h5_ips, nat_ips = bench_loaders_hdf5()
+    emit("h5py_loader_host", h5_ips, "images/sec host-side (same HDF5)")
+    emit("native_loader_host", nat_ips, "images/sec host-side (same HDF5)")
 
 
 if __name__ == "__main__":

@@ -318,3 +318,99 @@ def test_space_sharded_grads_match_dp(lidc32, tmp_path):
     ])
     rel = np.linalg.norm(a - b) / np.linalg.norm(a)
     assert rel < 1e-3, rel
+
+
+_MP_HOSTAUG_WORKER = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+pid, port, workdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+from unet_zoo_tpu.parallel import barrier, init_distributed, make_mesh
+assert init_distributed(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+from unet_zoo_tpu.data import synthetic
+from unet_zoo_tpu.data.augment import AugmentOptions
+from unet_zoo_tpu.experiments import ExperimentConfig
+from unet_zoo_tpu.training import Trainer
+data = synthetic.synthetic_lidc(workdir, num_per_split=(8, 2, 2), size=32)
+cfg = ExperimentConfig(
+    experiment_name="mph", model="unet", filter_channels=(4, 8), n_classes=2,
+    batch_size=8, image_size=(32, 32), iterations=8,
+    augment_on="host",
+    augmentation_options=AugmentOptions(
+        do_rotations=True, do_fliplr=True, nlabels=2),
+    validation_frequency=2, num_validation_images=1, validation_samples=2,
+    logging_frequency=10**9,
+)
+mesh = make_mesh(4)
+barrier("imports_done")
+import numpy as np, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+warm = jax.make_array_from_callback(
+    (4,), NamedSharding(mesh, P("data")), lambda idx: np.ones(1, np.float32))
+assert float(jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(warm)) == 4.0
+tr = Trainer(cfg, log_dir=os.path.join(workdir, f"hlog_p{pid}"), mesh=mesh,
+             tensorboard=False)
+barrier("trainer_built")
+aux = tr.train(data, validate=True)  # validations at 2,4,6,8 (proc 0 only)
+print(f"MPH_LOSS {pid} {float(aux['loss']):.6f}")
+"""
+
+
+def test_two_process_host_aug_survives_validation(tmp_path):
+    """VERDICT r3 #5: with augment_on='host', the processes' augmentation
+    streams must stay identical ACROSS validation boundaries. validate()
+    runs only on process 0 (trainer train:360-366); before round 4 it
+    consumed self.host_rng — the same generator seeding the host-aug
+    PrefetchingLoader — so after one validation every subsequent global
+    batch differed between processes. Now validation draws from a derived
+    (seed, iteration)-keyed stream, and the final losses must be equal."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    synthetic.synthetic_lidc(str(tmp_path), num_per_split=(8, 2, 2), size=32)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _MP_HOSTAUG_WORKER, str(pid), str(port),
+             str(tmp_path)],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    losses = {}
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        for line in out.splitlines():
+            if line.startswith(f"MPH_LOSS {pid} "):
+                losses[pid] = float(line.split()[-1])
+    assert set(losses) == {0, 1}
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+
+    # the identical single-process run must land on the same loss: the
+    # host-aug stream may not depend on who validates
+    from unet_zoo_tpu.data.augment import AugmentOptions
+
+    cfg = _cfg(
+        "unet", experiment_name="mph_single", filter_channels=(4, 8),
+        iterations=8, augment_on="host",
+        augmentation_options=AugmentOptions(
+            do_rotations=True, do_fliplr=True, nlabels=2),
+        validation_frequency=2, num_validation_images=1,
+        validation_samples=2, logging_frequency=10**9,
+    )
+    data = synthetic.synthetic_lidc(str(tmp_path), num_per_split=(8, 2, 2),
+                                    size=32)
+    tr = Trainer(cfg, log_dir=str(tmp_path / "single_h"), tensorboard=False)
+    aux = tr.train(data, validate=True)
+    assert losses[0] == pytest.approx(float(aux["loss"]), rel=1e-4)

@@ -445,3 +445,197 @@ def test_adam_coupled_l2_matches_torch():
     np.testing.assert_allclose(
         np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# native loader path (ExperimentConfig.loader="native")
+# ---------------------------------------------------------------------------
+
+
+def _native_or_skip():
+    from unet_zoo_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+
+
+def test_native_loader_batches_bit_identical(tmp_path):
+    """loader='native' must yield the BIT-IDENTICAL train batch stream to
+    the h5py provider at equal seed: same sampling semantics, same RNG call
+    order (indices draw then annotator picks) — only the read path differs
+    (C++ mmap gather vs h5py fancy indexing)."""
+    _native_or_skip()
+    from unet_zoo_tpu.data import synthetic
+    from unet_zoo_tpu.data.lidc import LIDCData
+    import h5py
+
+    cache = str(tmp_path / "nl.hdf5")
+    synthetic.make_lidc_cache(cache, num_per_split=(10, 2, 2), size=32)
+    d_h5 = LIDCData(h5py.File(cache, "r"), seed=7)
+    d_nat = LIDCData(h5py.File(cache, "r"), seed=7, loader="native",
+                     batch_size=4)
+    try:
+        for _ in range(6):  # crosses the without-replacement epoch edge
+            xh, yh = d_h5.train.next_batch(4)
+            xn, yn = d_nat.train.next_batch(4)
+            np.testing.assert_array_equal(xn, xh)
+            np.testing.assert_array_equal(yn, yh)
+    finally:
+        d_nat.train.close()
+
+
+def test_trainer_train_native_loader_e2e(tmp_path):
+    """Trainer.train end-to-end on loader='native' through the config/
+    data-registry route (VERDICT r3 #4: the native store must be selectable
+    from a config, not library-only)."""
+    _native_or_skip()
+    from unet_zoo_tpu.data.registry import data_switch
+    from unet_zoo_tpu.data import synthetic
+    from unet_zoo_tpu.experiments.config import SystemConfig
+
+    preproc = tmp_path / "preproc"
+    os.makedirs(preproc)
+    synthetic.make_lidc_cache(str(preproc / "data_lidc.hdf5"),
+                              num_per_split=(8, 2, 2), size=32)
+    cfg = _tiny_cfg("unet", loader="native")
+    sys_cfg = SystemConfig(log_root=str(tmp_path / "logs"),
+                           preproc_folder=str(preproc))
+    data = data_switch(cfg.data_loader).from_config(sys_cfg, cfg)
+    tr = Trainer(cfg, sys_cfg, log_dir=str(tmp_path / "nat"))
+    try:
+        aux = tr.train(data, validate=False)
+        assert np.isfinite(float(aux["loss"]))
+        assert int(tr.state.step) == cfg.iterations
+    finally:
+        data.train.close()
+
+
+def test_native_loader_config_validation():
+    cfg = _tiny_cfg("unet", loader="native", resize_to=(16, 16))
+    with pytest.raises(AssertionError):
+        cfg.validate()
+    with pytest.raises(AssertionError):
+        _tiny_cfg("unet", loader="bogus").validate()
+
+
+# ---------------------------------------------------------------------------
+# CLI mesh wiring (--mesh data=N,space=K)
+# ---------------------------------------------------------------------------
+
+
+def test_cli_train_mesh_matches_library(tmp_path):
+    """VERDICT r3 #3: `train.py --mesh data=4,space=2` must produce the
+    same trained parameters as the library route with the identical mesh
+    (same cache, same seeds)."""
+    from unet_zoo_tpu.data.synthetic import make_lidc_cache
+    from unet_zoo_tpu.parallel import make_mesh
+    from unet_zoo_tpu.training.cli import train_main
+
+    cache = str(tmp_path / "preproc" / "data_lidc.hdf5")
+    os.makedirs(os.path.dirname(cache))
+    make_lidc_cache(cache, num_per_split=(8, 2, 2), size=32)
+    exp = tmp_path / "exp.py"
+    exp.write_text(
+        "from unet_zoo_tpu.experiments import ExperimentConfig\n"
+        "config = ExperimentConfig(experiment_name='MeshCli', model='unet',\n"
+        "    filter_channels=(4, 8), image_size=(32, 32), batch_size=8,\n"
+        "    iterations=3, validation_frequency=10**9,\n"
+        "    logging_frequency=10**9)\n"
+    )
+    sys_cfg = tmp_path / "sys.json"
+    sys_cfg.write_text(json.dumps({
+        "log_root": str(tmp_path / "logs"), "data_root": "unused",
+        "preproc_folder": str(tmp_path / "preproc"),
+    }))
+    rc = train_main([str(exp), "--sys-config", str(sys_cfg),
+                     "--mesh", "data=4,space=2"])
+    assert rc == 0
+
+    # library route: identical mesh, cache and seeds
+    import h5py
+    from unet_zoo_tpu.data.lidc import LIDCData
+
+    cfg = load_experiment(str(exp))
+    data = LIDCData(h5py.File(cache, "r"), seed=cfg.data_seed)
+    tr = Trainer(cfg, log_dir=str(tmp_path / "lib"), tensorboard=False,
+                 mesh=make_mesh(8, space=2))
+    tr.train(data, validate=False)
+
+    cli_tr = Trainer(cfg, log_dir=str(tmp_path / "logs" / "lidc" / "MeshCli"),
+                     tensorboard=False)
+    cli_tr.restore("last")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(cli_tr.state.params),
+        jax.tree_util.tree_leaves(tr.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_cli_mesh_parsing():
+    from types import SimpleNamespace
+
+    from unet_zoo_tpu.training.cli import _make_cli_mesh
+
+    def ns(**kw):
+        base = dict(mesh=None, space=None, coordinator=None,
+                    num_processes=None, process_id=None)
+        base.update(kw)
+        return SimpleNamespace(**base)
+
+    assert _make_cli_mesh(ns(mesh="none"), 8) is None
+    m = _make_cli_mesh(ns(mesh="data=4,space=2"), 8)
+    assert m.shape == {"data": 4, "space": 2}
+    m = _make_cli_mesh(ns(space=2), 8)
+    assert m.shape == {"data": 4, "space": 2}
+    # default: pure DP over the largest batch divisor <= devices
+    m = _make_cli_mesh(ns(), 8)
+    assert m.shape == {"data": 8, "space": 1}
+    m = _make_cli_mesh(ns(), 6)
+    assert m.shape == {"data": 6, "space": 1}
+    assert _make_cli_mesh(ns(), 1) is None
+    with pytest.raises(SystemExit):
+        _make_cli_mesh(ns(mesh="data=64"), 8)
+    with pytest.raises(SystemExit):
+        _make_cli_mesh(ns(mesh="bogus"), 8)
+    with pytest.raises(SystemExit):
+        _make_cli_mesh(ns(mesh="data=2,space=4", space=2), 8)
+
+
+def test_validate_does_not_consume_host_rng(lidc32, tmp_path):
+    """VERDICT r3 #5: validate() must not advance self.host_rng — that
+    stream seeds the host-augmentation loader, and under multi-host only
+    process 0 validates; consuming it there desynchronizes every process's
+    augmentation stream after the first validation."""
+    import copy
+
+    cfg = _tiny_cfg("unet", num_validation_images=2)
+    tr = Trainer(cfg, log_dir=str(tmp_path / "hr"), tensorboard=False)
+    before = copy.deepcopy(tr.host_rng.bit_generator.state)
+    tr.validate(lidc32)
+    assert tr.host_rng.bit_generator.state == before
+
+
+def test_eval_loss_repeat_semantics(tmp_path):
+    """Round-4 decision-table row: the validation ELBO is computed on the
+    n_loss-repeat batch arrangement (reference train_model.py:177-192 — the
+    loss batch-means over validation_samples z-draws of one image). Each
+    repeat row draws its own z, so averaging over k rows must cut the
+    loss's across-key spread roughly sqrt(k)-fold vs a single draw."""
+    cfg = _tiny_cfg("phiseg")
+    tr = Trainer(cfg, log_dir=str(tmp_path / "els"), tensorboard=False)
+    fn1 = tr._eval_image_fn(2, n_loss=1)
+    fn8 = tr._eval_image_fn(2, n_loss=8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 1)), jnp.float32)
+    y_all = jnp.asarray(rng.integers(0, 2, (4, 32, 32)), jnp.int32)
+    y_c = y_all[:1]
+    variables = tr.state.variables
+    keys = [jax.random.PRNGKey(i) for i in range(8)]
+    l1 = np.array([float(fn1(variables, x, y_all, y_c, k)["loss"]) for k in keys])
+    l8 = np.array([float(fn8(variables, x, y_all, y_c, k)["loss"]) for k in keys])
+    assert np.isfinite(l1).all() and np.isfinite(l8).all()
+    assert l1.std() > 0  # the z-noise is real at init
+    # deterministic given the fixed keys; 8-draw averaging must shrink it
+    assert l8.std() < l1.std()
+    # same model/params: the means must agree within the averaged spread
+    assert abs(l8.mean() - l1.mean()) < 4 * l1.std() / np.sqrt(8)

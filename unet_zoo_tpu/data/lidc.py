@@ -95,7 +95,17 @@ class LIDCData:
         annotator_range: Optional[Sequence[int]] = None,
         resize_to=None,
         seed: Optional[int] = None,
+        loader: str = "h5py",
+        batch_size: Optional[int] = None,
     ):
+        """``loader="native"`` serves the TRAIN split through the C++ mmap
+        store (native/store.py): same sampling semantics and RNG stream as
+        the h5py provider (bit-identical batches at equal seed, pinned by
+        tests/test_native.py), records gathered one batch ahead on a thread
+        pool instead of the reference's blocking h5py read
+        (data/batch_provider.py:58-59). Requires ``batch_size`` (the
+        prefetch pipeline is fixed-size); val/test stay h5py — eval reads
+        raw arrays."""
         self.data = data_file
         ar = (
             list(annotator_range)
@@ -117,7 +127,25 @@ class LIDCData:
                 rng=rng,
             )
 
-        self.train = provider("train")
+        if loader == "native":
+            from unet_zoo_tpu.native.store import train_provider_from_h5
+
+            if resize_to:
+                raise ValueError("loader='native' does not support resize_to")
+            if batch_size is None:
+                raise ValueError("loader='native' requires batch_size")
+            self.train = train_provider_from_h5(
+                self.data,
+                batch_size,
+                images="train/images",
+                labels="train/labels",
+                add_dummy_dimension=True,
+                num_labels_per_subject=self.NUM_LABELS_PER_SUBJECT,
+                annotator_range=ar,
+                rng=rng,
+            )
+        else:
+            self.train = provider("train")
         self.validation = provider("val")
         self.test = provider("test")
         # raw array access for eval-all-graders (reference lidc_data.py:49-53)
@@ -137,4 +165,6 @@ class LIDCData:
             annotator_range=getattr(exp_config, "annotator_range", None),
             resize_to=getattr(exp_config, "resize_to", None),
             seed=getattr(exp_config, "data_seed", None),
+            loader=getattr(exp_config, "loader", "h5py"),
+            batch_size=getattr(exp_config, "batch_size", None),
         )

@@ -178,7 +178,11 @@ class UZHProstateData:
         annotator_range: Optional[Sequence[int]] = None,
         resize_to=None,
         seed: Optional[int] = None,
+        loader: str = "h5py",
+        batch_size: Optional[int] = None,
     ):
+        """``loader="native"`` serves the train split through the C++ mmap
+        store (native/store.py train_provider_from_h5) — see LIDCData."""
         self.data = data_file
         ar = (
             list(annotator_range)
@@ -201,7 +205,25 @@ class UZHProstateData:
                 rng=rng,
             )
 
-        self.train = provider("train")
+        if loader == "native":
+            from unet_zoo_tpu.native.store import train_provider_from_h5
+
+            if resize_to:
+                raise ValueError("loader='native' does not support resize_to")
+            if batch_size is None:
+                raise ValueError("loader='native' requires batch_size")
+            self.train = train_provider_from_h5(
+                self.data,
+                batch_size,
+                images="images_train",
+                labels="masks_train",
+                add_dummy_dimension=True,
+                num_labels_per_subject=self.NUM_LABELS_PER_SUBJECT,
+                annotator_range=ar,
+                rng=rng,
+            )
+        else:
+            self.train = provider("train")
         self.validation = provider("validation")
         self.test = provider("test")
         self.test.images = self.data["images_test"]
@@ -222,6 +244,8 @@ class UZHProstateData:
             f,
             annotator_range=getattr(exp_config, "annotator_range", None),
             seed=getattr(exp_config, "data_seed", None),
+            loader=getattr(exp_config, "loader", "h5py"),
+            batch_size=getattr(exp_config, "batch_size", None),
         )
 
 

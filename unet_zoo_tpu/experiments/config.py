@@ -73,6 +73,12 @@ class ExperimentConfig:
     # are expensive)
     augment_on: str = "device"
     data_seed: Optional[int] = 0
+    # "h5py": blocking reads in the train loop (the reference's own IO
+    # model, data/batch_provider.py:58-59); "native": the C++ mmap store
+    # (native/batchstore.cpp) — records gathered by a thread pool one
+    # batch AHEAD of the consumer (async double-buffered prefetch), same
+    # sampling semantics/RNG stream as the h5py provider
+    loader: str = "h5py"
 
     # optimization (reference hardcodes these in the harness,
     # train_model.py:49-51)
@@ -136,6 +142,12 @@ class ExperimentConfig:
         if self.model in ("phiseg", "phiseg3d"):
             assert self.latent_levels <= len(self.filter_channels)
         assert self.dtype in ("float32", "bfloat16")
+        assert self.loader in ("h5py", "native"), self.loader
+        if self.loader == "native":
+            assert self.resize_to is None, (
+                "loader='native' serves raw records; resize_to needs the "
+                "h5py provider's post-processing"
+            )
         # any spatial size works: pooling is ceil-mode and every upsample
         # resizes to the exact skip shape (unlike the reference's fixed
         # scale_factor=2, which breaks on non-power-of-two pyramids); just

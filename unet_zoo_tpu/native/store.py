@@ -98,10 +98,17 @@ def native_available() -> bool:
         return False
 
 
-def write_store(path: str, array) -> str:
-    """Write a (possibly h5py) array as a UZBS1 flat store."""
+def write_store(path: str, array, dtype=None) -> str:
+    """Write a (possibly h5py) array as a UZBS1 flat store.
+
+    ``dtype``: optional cast applied chunk-wise while streaming (e.g. the
+    LIDC cache stores float64 images — reference lidc_data_loader.py:92 —
+    but the consumer converts to float32 anyway, so storing float32 halves
+    the read traffic with bit-identical batches)."""
     arr0 = array[0:1]  # probe dtype without loading everything
-    dtype = np.dtype(np.asarray(arr0).dtype)
+    dtype = np.dtype(dtype) if dtype is not None else np.dtype(
+        np.asarray(arr0).dtype
+    )
     if dtype not in _SUPPORTED:
         raise ValueError(f"unsupported dtype {dtype}")
     shape = tuple(array.shape)
@@ -111,7 +118,10 @@ def write_store(path: str, array) -> str:
         f.write(np.asarray(shape, dtype=np.int64).tobytes())
         chunk = max(1, (1 << 26) // max(1, int(np.prod(shape[1:])) * dtype.itemsize))
         for i in range(0, shape[0], chunk):
-            f.write(np.ascontiguousarray(array[i : i + chunk]).tobytes())
+            block = np.ascontiguousarray(
+                np.asarray(array[i : i + chunk], dtype=dtype)
+            )
+            f.write(block.tobytes())
     return path
 
 
@@ -239,6 +249,7 @@ class NativeBatchProvider:
         self.rng = rng if rng is not None else np.random.default_rng()
         self._px = Prefetcher(image_store, batch_size)
         self._py = Prefetcher(label_store, batch_size)
+        self._pending_picks: list = []  # annotator picks, FIFO with submits
         self._primed = False
 
     def _sample_indices(self) -> np.ndarray:
@@ -250,9 +261,21 @@ class NativeBatchProvider:
         return np.sort(picks)
 
     def _submit_next(self):
+        # ALL host-RNG draws for a batch happen here, in the h5py
+        # BatchProvider's per-batch order (indices, then annotator picks,
+        # batch_provider.py:103,132) — the prefetcher runs one batch ahead
+        # of the consumer, so deferring the annotator draw to next_batch
+        # would interleave it with the NEXT batch's index draw and break
+        # bit-identity with the h5py stream (pinned by
+        # tests/test_training.py::test_native_loader_batches_bit_identical).
         idx = self._sample_indices()
         self._px.submit(idx)
         self._py.submit(idx)
+        self._pending_picks.append(
+            self.rng.choice(self.annotator_range, size=self.batch_size)
+            if self.num_labels_per_subject > 1
+            else None
+        )
 
     def next_batch(self, batch_size: Optional[int] = None):
         assert batch_size is None or batch_size == self.batch_size, (
@@ -266,8 +289,8 @@ class NativeBatchProvider:
         y = self._py.wait()
         X = np.array(X, dtype=np.float32, copy=True)  # own the buffer
         y = np.array(y, copy=True)
-        if self.num_labels_per_subject > 1:
-            picks = self.rng.choice(self.annotator_range, size=y.shape[0])
+        picks = self._pending_picks.pop(0)
+        if picks is not None:
             y = np.stack([y[i, ..., a] for i, a in enumerate(picks)], axis=0)
         if self.add_dummy_dimension:
             X = np.expand_dims(X, axis=-1)
@@ -278,3 +301,49 @@ class NativeBatchProvider:
         self._py.close()
         self.X.close()
         self.y.close()
+
+
+def train_provider_from_h5(
+    data_file,
+    batch_size: int,
+    *,
+    images: str = "train/images",
+    labels: str = "train/labels",
+    add_dummy_dimension: bool = True,
+    num_labels_per_subject: int = 1,
+    annotator_range: Optional[Sequence[int]] = None,
+    rng: Optional[np.random.Generator] = None,
+    image_dtype=np.float32,
+) -> NativeBatchProvider:
+    """Serve one HDF5 split through the native store (the Trainer's
+    ``loader="native"`` path, ExperimentConfig.loader).
+
+    The split's images/labels datasets are converted ONCE into UZBS flat
+    stores cached next to the HDF5 file (rebuilt if the cache predates it);
+    subsequent runs mmap them directly. Sampling semantics and the RNG call
+    order equal BatchProvider's (indices draw, then annotator picks), so a
+    same-seeded native provider yields the bit-identical batch stream to
+    the h5py provider it replaces — only the read path changes (C++ thread
+    pool, one batch prefetched ahead, vs the reference's blocking h5py
+    fancy-index read, data/batch_provider.py:58-59)."""
+    img_ds, lbl_ds = data_file[images], data_file[labels]
+    base = data_file.filename
+    img_path = f"{base}.{images.replace('/', '.')}.uzbs"
+    lbl_path = f"{base}.{labels.replace('/', '.')}.uzbs"
+    h5_mtime = os.path.getmtime(base)
+    if not os.path.exists(img_path) or os.path.getmtime(img_path) < h5_mtime:
+        write_store(img_path, img_ds, dtype=image_dtype)
+    if not os.path.exists(lbl_path) or os.path.getmtime(lbl_path) < h5_mtime:
+        write_store(lbl_path, lbl_ds)
+    img_store = BatchStore(img_path, image_dtype)
+    lbl_store = BatchStore(lbl_path, np.dtype(lbl_ds.dtype))
+    return NativeBatchProvider(
+        img_store,
+        lbl_store,
+        np.arange(img_store.num_records),
+        batch_size,
+        add_dummy_dimension=add_dummy_dimension,
+        num_labels_per_subject=num_labels_per_subject,
+        annotator_range=annotator_range,
+        rng=rng,
+    )

@@ -62,6 +62,89 @@ def _build_data(cfg: ExperimentConfig, sys_cfg: SystemConfig):
     return data_switch(cfg.data_loader).from_config(sys_cfg, cfg)
 
 
+def _add_mesh_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--mesh",
+        default=None,
+        metavar="SPEC",
+        help="device mesh spec 'data=N[,space=K]' (SURVEY.md §7 step 9: "
+        "pjit DP over ICI as the default). With >1 visible device and no "
+        "spec, all devices form a pure-DP mesh automatically; 'none' forces "
+        "single-device",
+    )
+    p.add_argument(
+        "--space",
+        type=int,
+        default=None,
+        metavar="K",
+        help="shorthand: shard the image height K-ways (spatial sharding — "
+        "the 512² UZH / 128³ BraTS memory lever); data axis takes the "
+        "remaining devices",
+    )
+    p.add_argument(
+        "--coordinator",
+        default=None,
+        metavar="HOST:PORT",
+        help="multi-host: jax.distributed coordinator address (pass the "
+        "same value on every process, with --num-processes/--process-id)",
+    )
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+
+
+def _make_cli_mesh(args, batch_size: int):
+    """Resolve the CLI mesh flags to a jax.sharding.Mesh (or None).
+
+    Default policy (SURVEY.md §7 step 9 "mesh + pjit data parallelism as
+    default"): more than one visible device and no explicit spec => pure-DP
+    mesh over as many of them as divide the global batch (the batch dim
+    must split evenly over the "data" axis). The reference's entry point is
+    hardwired to one torch.device (reference train_model.py:47); this is
+    its multi-chip replacement. Explicit specs are taken literally — an
+    indivisible batch then fails loudly in the sharded step."""
+    import jax
+
+    from unet_zoo_tpu.parallel.mesh import init_distributed, make_mesh
+
+    if args.coordinator is not None or args.num_processes is not None:
+        init_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    if args.mesh == "none":
+        return None
+    data = space = None
+    if args.mesh is not None:
+        for part in args.mesh.split(","):
+            k, sep, v = part.partition("=")
+            if not sep or k not in ("data", "space"):
+                raise SystemExit(
+                    f"--mesh: bad component {part!r} (want data=N[,space=K])"
+                )
+            if k == "data":
+                data = int(v)
+            else:
+                space = int(v)
+    if args.space is not None:
+        if space is not None and space != args.space:
+            raise SystemExit("--space contradicts --mesh's space=")
+        space = args.space
+    n_avail = len(jax.devices())
+    if data is None and space is None:
+        d = min(n_avail, max(batch_size, 1))
+        while d > 1 and batch_size % d:
+            d -= 1
+        return make_mesh(d) if d > 1 else None
+    space = space or 1
+    n_dev = (data * space) if data is not None else (n_avail // space) * space
+    if n_dev > n_avail or n_dev < 1:
+        raise SystemExit(
+            f"--mesh wants {n_dev} devices but {n_avail} are visible"
+        )
+    return make_mesh(n_dev, space=space)
+
+
 def _copy_provenance(exp: str, cfg: ExperimentConfig, log_dir: str):
     os.makedirs(log_dir, exist_ok=True)
     if os.path.exists(exp) and exp.endswith(".py"):
@@ -89,6 +172,7 @@ def train_main(argv=None) -> int:
         "step, PRNG — so training continues exactly (the reference can "
         "only reload weights, train_model.py:53-67)",
     )
+    _add_mesh_args(p)
     args = p.parse_args(argv)
 
     cfg = load_experiment(args.experiment)
@@ -101,7 +185,9 @@ def train_main(argv=None) -> int:
 
     from unet_zoo_tpu.training.trainer import Trainer
 
-    trainer = Trainer(cfg, sys_cfg, log_dir=log_dir)
+    trainer = Trainer(
+        cfg, sys_cfg, log_dir=log_dir, mesh=_make_cli_mesh(args, cfg.batch_size)
+    )
     if args.resume is not None:
         trainer.restore(args.resume)
         logging.getLogger(__name__).info(
@@ -130,6 +216,7 @@ def eval_main(argv=None) -> int:
         "(largest-CC filtered, reassembled to the original geometry when "
         "the cache carries crop offsets)",
     )
+    _add_mesh_args(p)
     args = p.parse_args(argv)
 
     cfg = load_experiment(args.experiment)
@@ -141,7 +228,9 @@ def eval_main(argv=None) -> int:
 
     from unet_zoo_tpu.training.trainer import Trainer
 
-    trainer = Trainer(cfg, sys_cfg, log_dir=log_dir)
+    trainer = Trainer(
+        cfg, sys_cfg, log_dir=log_dir, mesh=_make_cli_mesh(args, cfg.batch_size)
+    )
     data = _build_data(cfg, sys_cfg)
     trainer.test(
         data,

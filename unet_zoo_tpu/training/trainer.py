@@ -124,6 +124,7 @@ class Trainer:
             "ged": float("inf"),
             "ncc": -1.0,
         }
+        self.seed = seed
         self.host_rng = np.random.default_rng(seed)
         self.mesh = mesh
         # multi-host layout (SURVEY.md §5): every process runs this same
@@ -395,9 +396,41 @@ class Trainer:
         lockstep."""
         return self._localize_tree(self.state.variables)
 
-    def _eval_image_fn(self, n_samples: int):
+    def _eval_variables(self):
+        """Device variables for the eval programs. Single-process: the
+        state's variables are already on device — hand them to the jitted
+        eval directly, no host round-trip per validation (the reference
+        logs validation duration as a first-class number,
+        train_model.py:157,273; through the remote-TPU tunnel a params
+        re-upload per call is the dominant validation overhead).
+        Multi-process: localize to this host and re-upload — process 0
+        evaluates alone and the global (non-addressable) arrays cannot
+        feed a local jit."""
+        if not self._multiprocess:
+            return self.state.variables
+        return jax.device_put(self._local_variables())
+
+    def _eval_rng(self, salt: int = 0):
+        """Host RNG for eval-time annotator picks, derived from (seed,
+        iteration, salt) only. validate()/test() must NOT consume
+        self.host_rng: that generator seeds the host-augmentation loader
+        (train:334-341), and under multi-host training only process 0
+        validates — consuming the shared stream there would desynchronize
+        the 'identical global batch' invariant host_to_global relies on
+        after the first validation."""
+        return np.random.default_rng([self.seed, self.iteration, salt])
+
+    def _eval_image_fn(self, n_samples: int, n_loss: int = 1):
         """Jitted: (variables, x (1,*S,C), y_all (A,*S), y_chosen (1,*S), key)
-        -> scalar metric dict. One device program per validation image."""
+        -> scalar metric dict. One device program per validation image.
+
+        ``n_loss``: batch-repeat count for the eval-mode ELBO — the
+        reference computes the validation loss on the 16-repeat batch
+        arrangement (train_model.py:177-192: the loss is the batch mean
+        over validation_samples z-draws of the same image); validate()
+        passes cfg.validation_samples to reproduce that. test() keeps 1:
+        the reference quantitative sweep (train_model.py:364-447) never
+        consumes a loss."""
         cfg = self.cfg
         label_range = tuple(range(1, cfg.n_classes))
 
@@ -433,15 +466,21 @@ class Trainer:
             mean_probs_cf = jnp.mean(probs_cf, axis=1)  # (C, *S)
             mean_pred = jnp.argmax(mean_probs_cf, axis=0)
             dice = M.dice_per_label(mean_pred, y_chosen[0], cfg.n_classes)
-            # eval-mode loss on the chosen-annotator mask (reference :189-192)
+            # eval-mode loss on the chosen-annotator mask (reference
+            # :189-192), on the n_loss-repeat batch arrangement: each row
+            # draws its own z, the loss batch-means over them (BN runs on
+            # running stats at train=False, so repeats are exact)
             if self.family == "unet":
                 logits = self.model.apply(variables, x, train=False)
                 loss, aux = self.model.loss(logits, y_chosen)
             else:
+                x_rep = jnp.broadcast_to(x, (n_loss,) + x.shape[1:])
+                y_rep = jnp.broadcast_to(y_chosen, (n_loss,) + y_chosen.shape[1:])
                 out = self.model.apply(
-                    variables, x, y_chosen, train=False, rngs={"z": key}
+                    variables, x_rep, y_rep, train=False,
+                    rngs={"z": jax.random.fold_in(key, 1)},
                 )
-                loss, aux = self.model.loss(out, y_chosen, variables["params"])
+                loss, aux = self.model.loss(out, y_rep, variables["params"])
             return {
                 "ged": ged,
                 "ncc": ncc,
@@ -470,9 +509,11 @@ class Trainer:
             if cfg.num_validation_images == "all"
             else min(cfg.num_validation_images, data.validation.images.shape[0])
         )
-        key = ("eval", cfg.validation_samples)
+        key = ("eval", cfg.validation_samples, cfg.validation_samples)
         if key not in self._val_cache:
-            self._val_cache[key] = self._eval_image_fn(cfg.validation_samples)
+            self._val_cache[key] = self._eval_image_fn(
+                cfg.validation_samples, n_loss=cfg.validation_samples
+            )
         eval_fn = self._val_cache[key]
 
         annotators = (
@@ -480,12 +521,13 @@ class Trainer:
             if cfg.annotator_range is not None
             else list(range(cfg.num_labels_per_subject))
         )
-        variables = jax.device_put(self._local_variables())
+        variables = self._eval_variables()
+        val_rng = self._eval_rng()
         results = []
         for ii in range(n_val):
             x = np.asarray(data.validation.images[ii], dtype=np.float32)
             y_all = np.asarray(data.validation.labels[ii])  # (*S, A)
-            a = self.host_rng.choice(annotators)
+            a = val_rng.choice(annotators)
             y_chosen = y_all[..., a]
             y_all_t = np.moveaxis(y_all, -1, 0)  # (A, *S)
             out = eval_fn(
@@ -610,7 +652,7 @@ class Trainer:
         if key not in self._val_cache:
             self._val_cache[key] = self._eval_volume_fn(cfg.validation_samples)
         eval_fn = self._val_cache[key]
-        variables = jax.device_put(self._local_variables())
+        variables = self._eval_variables()
         results = []
         hd95_rows = []
         for ii in range(n_val):
@@ -721,7 +763,7 @@ class Trainer:
                 raise FileNotFoundError(
                     f"checkpoint '{checkpoint}' not found in {self.log_dir}"
                 )
-        key = ("eval", num_samples)
+        key = ("eval", num_samples, 1)
         if key not in self._val_cache:
             self._val_cache[key] = self._eval_image_fn(num_samples)
         eval_fn = self._val_cache[key]
@@ -732,7 +774,8 @@ class Trainer:
             else list(range(cfg.num_labels_per_subject))
         )
         n_images = data.test.images.shape[0]
-        variables = jax.device_put(self._local_variables())
+        variables = self._eval_variables()
+        test_rng = self._eval_rng(salt=1)
         ged_mat = np.zeros((num_repeats, n_images))
         ncc_mat = np.zeros((num_repeats, n_images))
         dice_mat = np.zeros((num_repeats, n_images, cfg.n_classes))
@@ -741,7 +784,7 @@ class Trainer:
             for ii in range(n_images):
                 x = np.asarray(data.test.images[ii], dtype=np.float32)
                 y_all = np.asarray(data.test.labels[ii])
-                a = self.host_rng.choice(annotators)
+                a = test_rng.choice(annotators)
                 out = eval_fn(
                     variables,
                     jnp.asarray(x)[None, ..., None],
@@ -811,7 +854,7 @@ class Trainer:
         eval_fn = self._val_cache[key]
         split = self._brats_eval_split(data)
         n_vols = data.num_examples(split)
-        variables = jax.device_put(self._local_variables())
+        variables = self._eval_variables()
         nreg = cfg.n_classes
         dice = np.zeros((num_repeats, n_vols, nreg))
         sens = np.zeros((num_repeats, n_vols, nreg))
@@ -896,7 +939,7 @@ class Trainer:
         if key not in self._val_cache:
             self._val_cache[key] = self._eval_volume_fn(num_samples)
         eval_fn = self._val_cache[key]
-        variables = jax.device_put(self._local_variables())
+        variables = self._eval_variables()
         paths = []
         for ii in range(data.num_examples(split)):
             img, lbl, pid = data.get(ii, split)
@@ -948,7 +991,7 @@ class Trainer:
         os.makedirs(out_dir, exist_ok=True)
         cfg = self.cfg
         is_brats = cfg.is_3d and cfg.data_loader == "brats"
-        variables = jax.device_put(self._local_variables())
+        variables = self._eval_variables()
         sample_fn = jax.jit(
             partial(self.model.apply, train=False, method=self.model.sample),
             static_argnums=(2,),  # the sample count sets a vmap axis size
