@@ -26,9 +26,77 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 _T_START = time.time()
+
+
+def _watchdog_parent() -> int:
+    """Hang insurance (round-3 failure mode: rc=124, parsed=null). The axon
+    TPU platform hangs indefinitely inside ``jax.devices()`` when the remote
+    tunnel is down (CLAUDE.md environment notes) — and a hung bench prints
+    NOTHING, erasing the round's perf record. This jax-free parent re-execs
+    bench.py as a child (BENCH_CHILD=1), relays its stdout line-by-line, and
+    if no JSON line has appeared after ``BENCH_INSURANCE_S`` (default 600 s
+    — enough for a loaded single-core host + jax import + a cached compile,
+    NOT enough for a cold 17-min remote compile, which still prints its real
+    line later) emits a value-null marker line so even a driver kill during
+    a backend hang leaves a parseable record. Real measurement lines are
+    always printed AFTER the marker, so last-JSON-line parsers see real
+    numbers whenever any exist."""
+    insurance_s = float(os.environ.get("BENCH_INSURANCE_S", "600"))
+    hard_cap_s = float(os.environ.get("BENCH_HARD_CAP_S", "3400"))
+    env = dict(os.environ, BENCH_CHILD="1")
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+        stdout=subprocess.PIPE, text=True, env=env, bufsize=1,
+    )
+    saw_json = False
+    insured = False
+
+    import threading
+
+    def _insure():
+        nonlocal insured
+        if not saw_json:
+            insured = True
+            print(
+                json.dumps(
+                    {
+                        "metric": "unet_fwd_lidc128_images_per_sec_per_chip",
+                        "value": None,
+                        "unit": "images/sec/chip",
+                        "vs_baseline": None,
+                        "error": f"no measurement after {insurance_s:.0f}s "
+                                 "(backend hang or cold compile; real line "
+                                 "follows if/when ready)",
+                    }
+                ),
+                flush=True,
+            )
+
+    timer = threading.Timer(insurance_s, _insure)
+    timer.daemon = True
+    timer.start()
+    killer = threading.Timer(hard_cap_s, child.kill)
+    killer.daemon = True
+    killer.start()
+    assert child.stdout is not None
+    for line in child.stdout:
+        if line.lstrip().startswith("{"):
+            saw_json = True
+            timer.cancel()
+        print(line, end="", flush=True)
+    rc = child.wait()
+    timer.cancel()
+    killer.cancel()
+    return 0 if (saw_json or insured) else rc
+
+
+if __name__ == "__main__" and os.environ.get("BENCH_CHILD") != "1":
+    sys.exit(_watchdog_parent())
 
 import jax
 import jax.numpy as jnp

@@ -41,7 +41,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VARIANTS = ("base", "tapT", "warpHIGH", "resizeVJP", "poolMM")
+VARIANTS = (
+    "base", "tapT", "warpHIGH", "resizeVJP", "poolMM",
+    # combinations (what would actually land in the package if they win):
+    # combo = the three bit-exact patches; comboHIGH adds the 3-pass-bf16
+    # warp dots (not bit-exact on non-identity warps, ~2^-21 rel err).
+    "combo", "comboHIGH",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -49,14 +55,17 @@ VARIANTS = ("base", "tapT", "warpHIGH", "resizeVJP", "poolMM")
 # ---------------------------------------------------------------------------
 
 
-def patch_tapT():
+def patch_tapT(precision=None):
     """Build tap-weight matrices transposed — (n, P) instead of (P, n) —
     and contract them with flipped einsum subscripts. Bit-identical math
-    (same where/select construction, same HIGHEST-precision dots)."""
+    (same where/select construction, same HIGHEST-precision dots) unless
+    ``precision`` overrides the dot precision."""
     import jax
     import jax.numpy as jnp
 
     from unet_zoo_tpu.data import augment as A
+
+    prec = precision or jax.lax.Precision.HIGHEST
 
     def _tap_weights_T(c, n):
         lo = jnp.floor(c)[None, :]           # (1, P)
@@ -73,11 +82,9 @@ def patch_tapT():
         wx = _tap_weights_T(coords[1].reshape(-1), W)  # (W, P)
         t = jnp.einsum(
             "hp,hwc->pwc", wy, img_hwc.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
-        out = jnp.einsum(
-            "pwc,wp->pc", t, wx, precision=jax.lax.Precision.HIGHEST
-        )
+        out = jnp.einsum("pwc,wp->pc", t, wx, precision=prec)
         return out.reshape(ph, pw, C)
 
     A._gather_bilinear_mm = _gather_bilinear_mm
@@ -188,12 +195,28 @@ def patch_poolMM():
     OPS.avg_pool_ceil = avg_pool_ceil
 
 
+def patch_combo():
+    patch_tapT()
+    patch_resizeVJP()
+    patch_poolMM()
+
+
+def patch_comboHIGH():
+    import jax
+
+    patch_tapT(precision=jax.lax.Precision.HIGH)
+    patch_resizeVJP()
+    patch_poolMM()
+
+
 PATCHES = {
     "base": lambda: None,
     "tapT": patch_tapT,
     "warpHIGH": patch_warpHIGH,
     "resizeVJP": patch_resizeVJP,
     "poolMM": patch_poolMM,
+    "combo": patch_combo,
+    "comboHIGH": patch_comboHIGH,
 }
 
 
@@ -209,7 +232,7 @@ def check_variant(name: str) -> dict:
 
     rng = np.random.default_rng(0)
     out: dict = {}
-    if name in ("tapT", "warpHIGH"):
+    if name in ("tapT", "warpHIGH", "combo", "comboHIGH"):
         from unet_zoo_tpu.data import augment as A
 
         img = jnp.asarray(rng.standard_normal((128, 128, 3)), jnp.float32)
@@ -222,7 +245,7 @@ def check_variant(name: str) -> dict:
         ref_w = np.asarray(jax.jit(A._gather_bilinear)(img, warp))
         got_w = np.asarray(jax.jit(A._gather_bilinear_mm)(img, warp))
         out["warp_max_abs_err_vs_gather"] = float(np.max(np.abs(ref_w - got_w)))
-    if name == "resizeVJP":
+    if name in ("resizeVJP", "combo", "comboHIGH"):
         from unet_zoo_tpu.ops import resize as R
 
         x = jnp.asarray(rng.standard_normal((4, 16, 16, 8)), jnp.float32)
@@ -251,7 +274,7 @@ def check_variant(name: str) -> dict:
 
         g_ref = np.asarray(jax.grad(f_ref)(x))
         out["grad_max_abs_err"] = float(np.max(np.abs(g - g_ref)))
-    if name == "poolMM":
+    if name in ("poolMM", "combo", "comboHIGH"):
         import jax.lax as lax
 
         from unet_zoo_tpu.ops import pool as Pm
