@@ -362,8 +362,29 @@ def run_paired(ref, cfg, log):
             state = json.load(f)
 
     def persist():
-        with open(state_path, "w") as f:
-            json.dump(state, f, indent=2)
+        # Merge-on-write: a torch stage (hours) and an ours stage (minutes)
+        # may run CONCURRENTLY against the same workdir, each persisting from
+        # its own in-memory snapshot — a plain dump would erase whatever the
+        # other process completed since this one loaded. Re-read, overlay our
+        # entries per-key (we are never stale for keys we computed), adopt
+        # the other writer's new keys, and replace atomically.
+        disk = {}
+        if os.path.exists(state_path):
+            try:
+                with open(state_path) as f:
+                    disk = json.load(f)
+            except Exception:
+                disk = {}
+        for sk, ent in state.items():
+            disk.setdefault(sk, {}).update(ent)
+        for sk, ent in disk.items():
+            mine = state.setdefault(sk, {})
+            for k, v in ent.items():
+                mine.setdefault(k, v)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(disk, f, indent=2)
+        os.replace(tmp, state_path)
 
     for seed in range(cfg.seeds):
         skey = str(seed)
