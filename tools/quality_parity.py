@@ -386,7 +386,12 @@ def run_paired(ref, cfg, log):
             json.dump(disk, f, indent=2)
         os.replace(tmp, state_path)
 
-    for seed in range(cfg.seeds):
+    # --stage report regenerates the artifact from the persisted state
+    # alone (no torch-net builds, no data builds, no training) — the safe
+    # way to refresh the report while other stages may still be running,
+    # or when the TPU is unreachable (a --stage ours rerun would TRAIN any
+    # missing ours_floor entries).
+    for seed in ([] if cfg.stage == "report" else range(cfg.seeds)):
         skey = str(seed)
         ent = state.setdefault(skey, {})
         data, path = build_data(cfg.workdir, cfg.size, splits, seed)
@@ -471,6 +476,9 @@ def run_paired(ref, cfg, log):
                     ),
                     data_o, cfg, cfg.samples, log, f"ours_s{seed}",
                 )
+                # platform is a property of the RUN (report regenerations
+                # must not relabel it with their own --ours-platform)
+                ent["ours_platform"] = cfg.ours_platform
                 persist()
                 del tr
 
@@ -503,8 +511,16 @@ def run_paired(ref, cfg, log):
         return
 
     # ---- report ----
-    pairs = [state[str(s)] for s in range(cfg.seeds)
-             if "ref" in state.get(str(s), {}) and "ours" in state.get(str(s), {})]
+    # Derive pairs and floor runs from the persisted state, not the cfg
+    # ranges: --stage report must reflect exactly what completed, and a
+    # lower --seeds/--noise-floor on the regenerating invocation must not
+    # hide finished runs.
+    if cfg.stage == "report" and os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+    seed_ids = sorted(int(s) for s in state)
+    pairs = [state[str(s)] for s in seed_ids
+             if "ref" in state[str(s)] and "ours" in state[str(s)]]
     if not pairs:
         log("no completed pairs yet")
         return
@@ -513,30 +529,34 @@ def run_paired(ref, cfg, log):
            for k in METRICS}
     floor_rel = {k: [] for k in METRICS}
     ours_floor_rel = {k: [] for k in METRICS}
-    for s in range(cfg.seeds):
-        ent = state.get(str(s), {})
-        for nf in range(cfg.noise_floor):
-            fl = ent.get(f"floor{nf}")
-            if fl and "ref" in ent:
-                for k in METRICS:
-                    floor_rel[k].append(
-                        (fl[k] - ent["ref"][k]) / abs(ent["ref"][k])
-                    )
-        for nf in range(cfg.ours_noise_floor):
-            fl = ent.get(f"ours_floor{nf}")
-            if fl and "ours" in ent:
+    for s in seed_ids:
+        ent = state[str(s)]
+        for fkey in sorted(ent):
+            fl = ent[fkey]
+            if fkey.startswith("ours_floor") and "ours" in ent:
                 for k in METRICS:
                     ours_floor_rel[k].append(
                         (fl[k] - ent["ours"][k]) / abs(ent["ours"][k])
+                    )
+            elif fkey.startswith("floor") and "ref" in ent:
+                for k in METRICS:
+                    floor_rel[k].append(
+                        (fl[k] - ent["ref"][k]) / abs(ent["ref"][k])
                     )
     report = {
         "config": {
             "model": cfg.model, "iterations": cfg.iterations,
             "size": cfg.size, "batch": cfg.batch, "samples": cfg.samples,
             "pairs": len(pairs), "n_test": cfg.n_test,
-            "filters": cfg.filters, "noise_floor_runs": cfg.noise_floor,
-            "ours_noise_floor_runs": cfg.ours_noise_floor,
-            "ours_platform": cfg.ours_platform,
+            "filters": cfg.filters,
+            # counts of COMPLETED floor runs found in the state (across
+            # all seeds), not the requested --noise-floor values
+            "noise_floor_runs": len(floor_rel[METRICS[0]]),
+            "ours_noise_floor_runs": len(ours_floor_rel[METRICS[0]]),
+            "ours_platform": ",".join(sorted({
+                state[str(s)].get("ours_platform", cfg.ours_platform)
+                for s in seed_ids if "ours" in state[str(s)]
+            })),
         },
         "pairs": pairs,
         "pair_rel_diff_mean": {k: float(np.mean(rel[k])) for k in METRICS},
@@ -573,6 +593,15 @@ def run_paired(ref, cfg, log):
             f" {ofl} |\n"
         )
     out = cfg.out.replace(".md", "_paired.md")
+    # Preserve hand-appended analysis sections (anything from the first
+    # "## " heading onward, e.g. the round-3 loss-trajectory table) across
+    # regenerations — only the generated header/table is replaced.
+    appendix = ""
+    if os.path.exists(out):
+        prev = open(out).read()
+        cutpos = prev.find("\n## ")
+        if cutpos != -1:
+            appendix = prev[cutpos:]
     with open(out, "w") as f:
         f.write(
             f"# Paired-init trained-model quality parity: {cfg.model}\n\n"
@@ -603,6 +632,7 @@ def run_paired(ref, cfg, log):
             "image test split (reference protocol\n"
             "`train_model.py:364-366,446-447`), same metric code for both\n"
             "sides. Produced by `tools/quality_parity.py --paired`.\n"
+            + appendix
         )
     log(f"wrote {out}")
 
@@ -626,9 +656,12 @@ def main():
     ap.add_argument("--paired", action="store_true",
                     help="paired-init protocol: transplant the torch init "
                     "into ours, identical batch order, per-pair diffs")
-    ap.add_argument("--stage", default="all", choices=["all", "torch", "ours"],
+    ap.add_argument("--stage", default="all",
+                    choices=["all", "torch", "ours", "report"],
                     help="paired mode only: run just the torch (hours) or "
-                    "ours (minutes) half; state persists in --workdir")
+                    "ours (minutes) half; state persists in --workdir. "
+                    "'report' regenerates the artifact from the persisted "
+                    "state without training anything")
     ap.add_argument("--noise-floor", type=int, default=0,
                     help="paired mode: extra torch runs from the same init/"
                     "batches with reseeded z, measuring the z-noise scale")
