@@ -139,3 +139,53 @@ def test_gather_clamps_out_of_range_indices(tmp_path):
     np.testing.assert_array_equal(out[0], arr[0])  # clamped low
     np.testing.assert_array_equal(out[1], arr[0])
     np.testing.assert_array_equal(out[2], arr[2])  # clamped high
+
+
+def test_train_provider_cache_invalidation(tmp_path):
+    """train_provider_from_h5 caches the HDF5 split as .uzbs flat stores
+    keyed on mtime: a REWRITTEN cache (newer h5 mtime) must rebuild them —
+    a stale store would silently serve the old dataset's bytes."""
+    h5py = pytest.importorskip("h5py")
+    import os
+    import time
+
+    from unet_zoo_tpu.native.store import train_provider_from_h5
+
+    path = str(tmp_path / "cache.hdf5")
+
+    def write_h5(mul):
+        with h5py.File(path, "w") as f:
+            f.create_dataset(
+                "train/images",
+                data=np.arange(40, dtype=np.float64).reshape(10, 2, 2) * mul,
+            )
+            f.create_dataset(
+                "train/labels",
+                data=(np.arange(40, dtype=np.uint8) % 2).reshape(10, 2, 2)
+                * mul,
+            )
+
+    def first_batch():
+        with h5py.File(path, "r") as f:
+            p = train_provider_from_h5(
+                f, 4, num_labels_per_subject=1,
+                rng=np.random.default_rng(0),
+            )
+            try:
+                x, y = p.next_batch()
+                return np.array(x), np.array(y)
+            finally:
+                p.close()
+
+    write_h5(1)
+    x1, y1 = first_batch()
+    # float64 h5 images stream into a float32 store (half the read traffic)
+    assert x1.dtype == np.float32 and x1.max() <= 39.0
+
+    # rewrite the dataset with different contents, strictly newer mtime
+    write_h5(3)
+    now = time.time() + 2
+    os.utime(path, (now, now))
+    x2, y2 = first_batch()
+    np.testing.assert_allclose(x2, x1 * 3)
+    np.testing.assert_array_equal(y2, y1 * 3)
