@@ -20,6 +20,14 @@ from __future__ import annotations
 import json
 import time
 
+import os
+
+# persistent XLA compile cache (remote TPU compiles run 1-17 min; the
+# content-addressed cache makes repeat invocations skip them; env form so
+# subprocess children inherit it)
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -32,6 +32,11 @@ import time
 import types
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# persistent XLA compile cache (remote TPU compiles run 1-17 min; the
+# content-addressed cache makes repeat invocations skip them; env form so
+# subprocess children inherit it)
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import numpy as np
 

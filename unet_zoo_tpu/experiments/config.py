@@ -31,6 +31,12 @@ class SystemConfig:
     uzh_input_mask_folder: str = ""
     uzh_preproc_folder: str = "preproc"
     brats_root: str = ""
+    # Persistent XLA compilation cache shared across runs (no reference
+    # counterpart — a TPU-first concern: remote/cold TPU compiles of the
+    # jitted train/eval programs run 1-17 min, and the reference UX is
+    # many short train/eval invocations over the same experiment configs).
+    # "~" expands; set to null in the json to disable.
+    jax_compilation_cache_dir: Optional[str] = "~/.cache/unet_zoo_tpu/jax"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,6 +62,23 @@ def _build_data(cfg: ExperimentConfig, sys_cfg: SystemConfig):
     return data_switch(cfg.data_loader).from_config(sys_cfg, cfg)
 
 
+def _enable_compile_cache(sys_cfg: SystemConfig) -> None:
+    """Point XLA's persistent compilation cache at
+    ``sys_cfg.jax_compilation_cache_dir`` (None disables). Re-invoking
+    train.py/eval.py on an already-compiled (config, backend) pair then
+    skips the 1-17-min cold TPU compiles entirely — the single largest
+    fixed cost of the reference UX (one process per train/eval run) on
+    this hardware."""
+    d = sys_cfg.jax_compilation_cache_dir
+    if not d:
+        return
+    import jax
+
+    d = os.path.expanduser(d)
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+
+
 def _add_mesh_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--mesh",
@@ -177,6 +194,7 @@ def train_main(argv=None) -> int:
 
     cfg = load_experiment(args.experiment)
     sys_cfg = _load_sys_config(args)
+    _enable_compile_cache(sys_cfg)
     if args.log_root:
         sys_cfg = dataclasses.replace(sys_cfg, log_root=args.log_root)
     log_dir = os.path.join(sys_cfg.log_root, cfg.log_dir_name, cfg.experiment_name)
@@ -221,6 +239,7 @@ def eval_main(argv=None) -> int:
 
     cfg = load_experiment(args.experiment)
     sys_cfg = _load_sys_config(args)
+    _enable_compile_cache(sys_cfg)
     if args.log_root:
         sys_cfg = dataclasses.replace(sys_cfg, log_root=args.log_root)
     log_dir = os.path.join(sys_cfg.log_root, cfg.log_dir_name, cfg.experiment_name)
