@@ -171,14 +171,19 @@ def _gather_bilinear(img_hwc, coords):
 
 
 def _tap_weights(c, n):
-    """(P,) float coords -> (P, n) bilinear tap-weight matrix: row p holds
-    (1-frac) at floor(c_p) and frac at floor(c_p)+1, zero elsewhere.
-    Out-of-range taps match no column and so contribute 0 — exactly
-    map_coordinates' mode="constant", cval=0."""
-    lo = jnp.floor(c)
-    frac = (c - lo)[:, None]
-    idx = jnp.arange(n, dtype=lo.dtype)
-    lo = lo[:, None]
+    """(P,) float coords -> (n, P) bilinear tap-weight matrix: column p
+    holds (1-frac) at row floor(c_p) and frac at row floor(c_p)+1, zero
+    elsewhere. Out-of-range taps match no row and so contribute 0 — exactly
+    map_coordinates' mode="constant", cval=0.
+
+    Built TRANSPOSED — (n, P), contracted with flipped einsum subscripts in
+    `_gather_bilinear_mm` — because the (P, n) orientation landed in the
+    wrong layout for the warp dots and cost ~2.65 ms/step of data-formatting
+    copies (A/B-measured round 4, tools/bench_step_variants.py `tapT`; part
+    of the combo that took the bs64 train step 1630 -> 1779 img/s)."""
+    lo = jnp.floor(c)[None, :]
+    frac = (c - jnp.floor(c))[None, :]
+    idx = jnp.arange(n, dtype=c.dtype)[:, None]
     return jnp.where(idx == lo, 1.0 - frac, 0.0) + jnp.where(
         idx == lo + 1, frac, 0.0
     )
@@ -197,16 +202,16 @@ def _gather_bilinear_mm(img_hwc, coords):
     """
     H, W, C = img_hwc.shape
     ph, pw = coords[0].shape
-    wy = _tap_weights(coords[0].reshape(-1), H)  # (P, H)
-    wx = _tap_weights(coords[1].reshape(-1), W)  # (P, W)
+    wy = _tap_weights(coords[0].reshape(-1), H)  # (H, P)
+    wx = _tap_weights(coords[1].reshape(-1), W)  # (W, P)
     t = jnp.einsum(
-        "ph,hwc->pwc",
+        "hp,hwc->pwc",
         wy,
         img_hwc.astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
     )
     out = jnp.einsum(
-        "pwc,pw->pc", t, wx, precision=jax.lax.Precision.HIGHEST
+        "pwc,wp->pc", t, wx, precision=jax.lax.Precision.HIGHEST
     )
     return out.reshape(ph, pw, C)
 

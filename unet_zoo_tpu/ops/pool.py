@@ -6,9 +6,16 @@ ceil-mode divides each window by the number of *valid* (in-bounds)
 elements — verified empirically: AvgPool2d(2,2,ceil)(3x3 iota) gives 8.0 at
 the bottom-right 1-element window.
 
-Implemented as reduce_window(sum) with high-side padding + a static count
-normalization (precomputed in numpy, broadcast multiply — fuses into the
-surrounding elementwise graph on TPU).
+Implemented as separable static (out, in) averaging matrices contracted on
+the resize-einsum machinery: forward AND backward are single MXU matmuls
+per axis. The previous reduce_window(sum)+count formulation left a
+~0.86 ms/step "output fusion" in the bs64 UNet train-step backward
+(reduce_window's transpose is a pad+window op); the matrix form is part of
+the A/B-measured combo that took that step 1630 -> 1779 img/s with
+fwd/grad max-abs-err 0.0 vs reduce_window (tools/bench_step_variants.py
+`poolMM`). Matrix entries are 1/count with count in {1, 2, 4, 8} — exact
+in every dtype — and the einsum accumulates f32 (HIGHEST) even on bf16
+inputs.
 """
 
 from __future__ import annotations
@@ -16,8 +23,6 @@ from __future__ import annotations
 import functools
 
 import numpy as np
-import jax.lax as lax
-import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=None)
@@ -30,33 +35,27 @@ def _counts_1d(in_len: int, window: int, stride: int) -> np.ndarray:
     return counts
 
 
+@functools.lru_cache(maxsize=None)
+def _pool_matrix(in_len: int, window: int, stride: int) -> np.ndarray:
+    """(out_len, in_len) averaging matrix: row o holds 1/count over the
+    valid (in-bounds) window elements — torch ceil-mode semantics."""
+    counts = _counts_1d(in_len, window, stride)
+    out_len = counts.shape[0]
+    w = np.zeros((out_len, in_len), np.float32)
+    for o in range(out_len):
+        start = o * stride
+        stop = min(start + window, in_len)
+        w[o, start:stop] = 1.0 / counts[o]
+    return w
+
+
 def avg_pool_ceil(x, window: int = 2, stride: int = 2):
     """Ceil-mode average pool over all spatial axes of NHWC / NDHWC input."""
-    ndim_spatial = x.ndim - 2
-    window_dims = (1,) + (window,) * ndim_spatial + (1,)
-    strides = (1,) + (stride,) * ndim_spatial + (1,)
+    from unet_zoo_tpu.ops import resize
 
-    pads = [(0, 0)]
-    counts_per_axis = []
     for axis in range(1, x.ndim - 1):
-        in_len = x.shape[axis]
-        counts = _counts_1d(in_len, window, stride)
-        out_len = counts.shape[0]
-        needed = (out_len - 1) * stride + window
-        pads.append((0, needed - in_len))
-        counts_per_axis.append(counts)
-    pads.append((0, 0))
-
-    summed = lax.reduce_window(
-        x, np.zeros((), x.dtype), lax.add, window_dims, strides, tuple(pads)
-    )
-
-    # static 1/count normalization, separable across axes
-    inv = np.float32(1.0)
-    for axis, counts in enumerate(counts_per_axis, start=1):
-        shape = [1] * x.ndim
-        shape[axis] = counts.shape[0]
-        inv = inv * (1.0 / counts).reshape(shape)
+        w = _pool_matrix(x.shape[axis], window, stride)
+        x = resize._apply_axis_matrix(x, w, axis)
     from unet_zoo_tpu.parallel.space import constrain
 
-    return constrain(summed * jnp.asarray(inv, dtype=x.dtype))
+    return constrain(x)

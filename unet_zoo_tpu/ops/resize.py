@@ -56,27 +56,58 @@ def _nearest_matrix(in_len: int, out_len: int) -> np.ndarray:
     return w
 
 
+@functools.lru_cache(maxsize=None)
+def _axis_contraction(ndim: int, axis: int):
+    """custom_vjp axis contraction: forward is the in-place nd einsum;
+    backward contracts the cotangent against a PRE-TRANSPOSED (in, out)
+    matrix instead of XLA's automatic transpose of the forward einsum.
+
+    The automatic transpose left an ~0.8 ms/step "data formatting" layout
+    copy in the bs64 UNet train-step backward (trace attribution,
+    tools/profile_train.py); the pre-transposed bwd einsum is part of the
+    A/B-measured combo that took that step 1630 -> 1779 img/s with grad
+    max-abs-err 0.0 vs the plain einsum (tools/bench_step_variants.py
+    `resizeVJP`). The same idea was NEUTRAL at PHiSeg-bs12 shapes in
+    round 3 — kept because it is exact everywhere and wins at bs64."""
+    letters = "bdhwc"[:ndim]
+    in_sub = letters
+    out_sub = letters[:axis] + "o" + letters[axis + 1 :]
+    fwd_eq = f"{in_sub},o{letters[axis]}->{out_sub}"
+    bwd_eq = f"{out_sub},{letters[axis]}o->{in_sub}"
+
+    @jax.custom_vjp
+    def apply(x, m, mt):
+        return jnp.einsum(fwd_eq, x, m, precision=jax.lax.Precision.HIGHEST)
+
+    def fwd(x, m, mt):
+        return apply(x, m, mt), (m, mt)
+
+    def bwd(res, g):
+        m, mt = res
+        dx = jnp.einsum(bwd_eq, g, mt, precision=jax.lax.Precision.HIGHEST)
+        return dx, None, None
+
+    apply.defvjp(fwd, bwd)
+    return apply
+
+
 def _apply_axis_matrix(x, mat: np.ndarray, axis: int):
     """Contract interpolation matrix over one axis: out[..., o, ...] = Σ_i M[o,i] x[..., i, ...].
 
     Contracts in place (no moveaxis): explicit transposes around the einsum
     materialized whole-tensor layout copies on TPU (profiled ~5 ms per
-    resize at bench shapes)."""
+    resize at bench shapes).
+
+    HIGHEST precision: interpolation weights must not be bf16-rounded on
+    TPU. Formulations measured and rejected at bench shapes (north-star
+    fwd, bs512 bf16): rank-3 merged-trailing-dims einsum 8.9k img/s,
+    shift+interleave scale-2 fast path 5.3k, DEFAULT precision no
+    change — this in-place nd einsum with the W-before-H axis order
+    (see resize_linear) is the best at 10.5k."""
+    assert x.ndim <= 5, x.shape
     m = jnp.asarray(mat, dtype=x.dtype)
-    letters = "bdhwc"[: x.ndim] if x.ndim <= 5 else None
-    assert letters is not None, x.shape
-    in_sub = letters
-    out_sub = letters[:axis] + "o" + letters[axis + 1 :]
-    # HIGHEST precision: interpolation weights must not be bf16-rounded on
-    # TPU. Formulations measured and rejected at bench shapes (north-star
-    # fwd, bs512 bf16): rank-3 merged-trailing-dims einsum 8.9k img/s,
-    # shift+interleave scale-2 fast path 5.3k, DEFAULT precision no
-    # change — this in-place nd einsum with the W-before-H axis order
-    # (see resize_linear) is the best at 10.5k.
-    return jnp.einsum(
-        f"{in_sub},o{letters[axis]}->{out_sub}", x, m,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    mt = jnp.asarray(np.ascontiguousarray(mat.T), dtype=x.dtype)
+    return _axis_contraction(x.ndim, axis)(x, m, mt)
 
 
 def resize_linear(x, out_size, align_corners: bool):
