@@ -324,15 +324,23 @@ def check_variant(name: str) -> dict:
 def run_variant(name: str) -> None:
     PATCHES[name]()
     checks = check_variant(name) if name != "base" else {}
-    from bench import measure_train_step
+    from bench import measure_train_step, measure_unet_fwd
 
     ips, mfu = measure_train_step("unet", 64)
+    # MANDATORY guard metric (round-4 postmortem: poolMM won the train step
+    # but regressed the fwd-only north-star 10770 -> 9743 img/s and rode
+    # into the record unchecked, BENCH_r04.json / VERDICT r4 Weak #1). A
+    # variant is only landable if BOTH numbers hold: train >= base AND
+    # north-star fwd >= 10.5k.
+    fwd_ips, fwd_mfu = measure_unet_fwd()
     print(
         json.dumps(
             {
                 "variant": name,
                 "train_images_per_sec": round(ips, 1),
                 "train_mfu": round(mfu, 4) if mfu else None,
+                "northstar_fwd_images_per_sec": round(fwd_ips, 1),
+                "northstar_fwd_mfu": round(fwd_mfu, 4) if fwd_mfu else None,
                 **checks,
             }
         ),

@@ -68,7 +68,12 @@ def _axis_contraction(ndim: int, axis: int):
     A/B-measured combo that took that step 1630 -> 1779 img/s with grad
     max-abs-err 0.0 vs the plain einsum (tools/bench_step_variants.py
     `resizeVJP`). The same idea was NEUTRAL at PHiSeg-bs12 shapes in
-    round 3 — kept because it is exact everywhere and wins at bs64."""
+    round 3 — kept because it is exact everywhere and wins at bs64.
+
+    NOTE: custom_vjp makes everything built on this (resize_linear,
+    downsample, avg_pool_ceil) REVERSE-mode only — jvp/jacfwd/linearize
+    will raise. Nothing in the repo uses forward-mode AD; if that ever
+    changes, add a defjvp or gate the custom_vjp behind a flag."""
     letters = "bdhwc"[:ndim]
     in_sub = letters
     out_sub = letters[:axis] + "o" + letters[axis + 1 :]
