@@ -129,14 +129,16 @@ def test_augment_shapes_and_label_values_preserved():
 
 def test_augment_gate_never_fires_is_identity_up_to_flips():
     """augment_every_nth only gates rot/scale/elastic; with flips off and a
-    huge every_nth the gate almost surely stays closed -> identity."""
+    huge every_nth the gate almost surely stays closed -> BIT-exact identity
+    (gate-off images select around the warp, independent of warp_precision;
+    round-5 structure in _augment_one_2d)."""
     imgs, lbls = _batch2d(b=2)
     opts = AugmentOptions(
         do_rotations=True, do_scaleaug=True, do_elasticaug=True,
         augment_every_nth=10_000, nlabels=2,
     )
     out_i, out_l = augment_batch_2d(jax.random.PRNGKey(3), imgs, lbls, opts)
-    np.testing.assert_allclose(np.asarray(out_i), np.asarray(imgs), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_i), np.asarray(imgs))
     np.testing.assert_array_equal(out_l, lbls)
 
 
@@ -162,6 +164,27 @@ def test_augment_rotation_moves_mass_not_shape():
     out_i, _ = augment_batch_2d(jax.random.PRNGKey(1), imgs, lbls, opts)
     assert out_i.shape == imgs.shape
     assert not np.allclose(np.asarray(out_i), np.asarray(imgs))
+
+
+def test_augment_warp_precision_high_matches_highest():
+    """warp_precision="high" (bf16_3x warp dots, the default — A/B-measured
+    +4.6% on the bs64 train step, tools/bench_step_variants.py comboHIGH)
+    must track the exact-f32 "highest" within its documented ~2^-21
+    relative error on warped pixels, and labels must agree away from
+    interpolation ties."""
+    imgs, lbls = _batch2d(b=4, size=32, seed=5)
+    kw = dict(do_rotations=True, do_scaleaug=True, do_elasticaug=True,
+              augment_every_nth=1, nlabels=2)
+    hi_i, hi_l = augment_batch_2d(
+        jax.random.PRNGKey(7), imgs, lbls, AugmentOptions(**kw)
+    )
+    ex_i, ex_l = augment_batch_2d(
+        jax.random.PRNGKey(7), imgs, lbls,
+        AugmentOptions(warp_precision="highest", **kw),
+    )
+    # same RNG stream -> same geometry; only matmul rounding differs
+    np.testing.assert_allclose(np.asarray(hi_i), np.asarray(ex_i), atol=5e-4)
+    assert np.mean(np.asarray(hi_l) != np.asarray(ex_l)) < 0.01
 
 
 def test_augment3d_shapes():

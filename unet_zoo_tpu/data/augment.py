@@ -59,6 +59,13 @@ class AugmentOptions:
     augment_every_nth: int = 2
     nlabels: int = 2
     label_interp: str = "onehot_linear"  # or "nearest"
+    # MXU precision of the warp matmuls: "high" (bf16_3x, ~2^-21 relative
+    # error on warped pixels, A/B-measured bs64 train step 1779 -> 1861
+    # img/s, tools/bench_step_variants.py `comboHIGH`) or "highest"
+    # (bf16_6x, exact f32). Identity pass-through (gate off) and flips are
+    # bit-exact under EITHER setting — they bypass the matmuls entirely
+    # (structural select/jnp.flip, see _augment_one_2d).
+    warp_precision: str = "high"
 
     @classmethod
     def from_dict(cls, d: Optional[dict], nlabels: int) -> "AugmentOptions":
@@ -84,6 +91,7 @@ class AugmentOptions:
             do_flipud=d.get("do_flipud", d.get("do_flip_ud", False)),
             augment_every_nth=d.get("augment_every_nth", 2),
             nlabels=d.get("nlabels", nlabels),
+            warp_precision=d.get("warp_precision", "high"),
         )
 
 
@@ -189,16 +197,28 @@ def _tap_weights(c, n):
     )
 
 
-def _gather_bilinear_mm(img_hwc, coords):
+_WARP_PRECISION = {
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _gather_bilinear_mm(img_hwc, coords, precision=jax.lax.Precision.HIGHEST):
     """Bilinear warp as two MXU matmuls instead of a 4-tap gather.
 
     out[p, c] = sum_{h,w} Wy[p, h] * img[h, w, c] * Wx[p, w], with Wy/Wx the
     one-hot-with-fraction tap matrices of `_tap_weights`. TPU gathers move
     one element per cycle per core; this form rides the systolic array and
     is ~an order of magnitude faster at 128² (the device-augmentation cost
-    VERDICT r2 flagged at ~35 ms/step bs64). Exact where the weights are
-    exactly 0/1 (identity, flips), so the augmentation exactness tests hold.
-    f32 `highest` precision keeps interpolation at full float32 accuracy.
+    VERDICT r2 flagged at ~35 ms/step bs64).
+
+    ``precision``: HIGHEST (bf16_6x) reproduces f32 exactly; HIGH (bf16_3x)
+    carries ~2^-21 relative error on interpolated pixels but halves the MXU
+    passes of the warp — the augmentation phase is fusion-compute-bound, and
+    the A/B-measured bs64 train step goes 1779 -> 1861 img/s
+    (tools/bench_step_variants.py `comboHIGH`). Callers that need bit-exact
+    pass-through must select around the warp, not through it (see
+    _augment_one_2d's gate/flip structure).
     """
     H, W, C = img_hwc.shape
     ph, pw = coords[0].shape
@@ -208,11 +228,9 @@ def _gather_bilinear_mm(img_hwc, coords):
         "hp,hwc->pwc",
         wy,
         img_hwc.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
-    out = jnp.einsum(
-        "pwc,wp->pc", t, wx, precision=jax.lax.Precision.HIGHEST
-    )
+    out = jnp.einsum("pwc,wp->pc", t, wx, precision=precision)
     return out.reshape(ph, pw, C)
 
 
@@ -222,10 +240,10 @@ def _gather_nearest(img_hw, coords):
     )
 
 
-def _warp_label(lbl_hw, coords, nlabels: int, interp: str):
+def _warp_label(lbl_hw, coords, nlabels: int, interp: str, precision):
     if interp == "onehot_linear" and nlabels <= 4:
         oh = jax.nn.one_hot(lbl_hw.astype(jnp.int32), nlabels, dtype=jnp.float32)
-        warped = _gather_bilinear_mm(oh, coords)
+        warped = _gather_bilinear_mm(oh, coords, precision)
         return jnp.argmax(warped, axis=-1).astype(lbl_hw.dtype)
     return _gather_nearest(lbl_hw, coords).astype(lbl_hw.dtype)
 
@@ -236,6 +254,19 @@ def _warp_label(lbl_hw, coords, nlabels: int, interp: str):
 
 
 def _augment_one_2d(key, img_hwc, lbl_hw, opts: AugmentOptions):
+    """One (H, W, C) image + (H, W) label.
+
+    Structure (round 5): the rot/scale/elastic group is composed into one
+    coordinate grid and warped via MXU matmuls; the warped result is then
+    SELECTED per image against the untouched input on the gate coin, and
+    flips are applied afterwards as exact mirrors (jnp.flip + where, the
+    same structure the 3D path uses). This makes gate-off pass-through and
+    flips bit-exact regardless of the warp matmul precision — which lets
+    the warp default to Precision.HIGH (see AugmentOptions.warp_precision)
+    where the old fold-flips-into-coords form needed HIGHEST to keep the
+    exactness tests. Flip-after-warp is arithmetically identical to the
+    folded form (a mirror permutes output pixels; each output pixel's
+    interpolation arithmetic is unchanged)."""
     nh, nw = img_hwc.shape[0], img_hwc.shape[1]
     (k_gate, k_rot, k_r, k_py, k_px, k_el, k_lr, k_ud) = jax.random.split(key, 8)
 
@@ -243,55 +274,72 @@ def _augment_one_2d(key, img_hwc, lbl_hw, opts: AugmentOptions):
         jax.random.randint(k_gate, (), 0, opts.augment_every_nth) == 0
     ).astype(jnp.float32)
 
-    coords = _base_grid((nh, nw))
+    img_out, lbl_out = img_hwc, lbl_hw
+    if opts.do_rotations or opts.do_scaleaug or opts.do_elasticaug:
+        coords = _base_grid((nh, nw))
 
-    # flips are applied LAST in the reference, so enter the dst->src chain
-    # first; each has its own 1/max(2, every_nth) coin (batch_provider.py:253-265)
+        if opts.do_elasticaug:
+            d = gate * _elastic_field(k_el, (nh, nw), opts.elastic_sigma)
+            coords = _apply_elastic(coords, d)
+
+        if opts.do_scaleaug:
+            # r ~ U{n-offset .. n} inclusive (np.random.random_integers
+            # semantics)
+            r = jax.random.randint(k_r, (), nh - opts.offset, nh + 1)
+            off_r = jax.random.randint(k_py, (), 0, nh - r + 1)
+            off_c = jax.random.randint(k_px, (), 0, nw - r + 1)
+            r = jnp.where(gate > 0, r, nh)
+            off_r = jnp.where(gate > 0, off_r, 0)
+            off_c = jnp.where(gate > 0, off_c, 0)
+            coords = _apply_scale_crop(coords, r, (off_r, off_c), (nh, nw))
+
+        if opts.do_rotations:
+            angle = gate * jax.random.uniform(
+                k_rot, (), minval=-opts.rot_degrees, maxval=opts.rot_degrees
+            )
+            coords = _apply_rotation(coords, angle, (nh, nw))
+
+        precision = _WARP_PRECISION[opts.warp_precision]
+        if opts.label_interp == "onehot_linear" and opts.nlabels <= 4:
+            # pack image + one-hot label channels into ONE warp pass (image
+            # and label share the exact same sample coordinates), computed as
+            # MXU matmuls (_gather_bilinear_mm) — TPU element gathers were
+            # the augmentation bottleneck (~35 ms/step at bs64, VERDICT r2)
+            oh = jax.nn.one_hot(
+                lbl_hw.astype(jnp.int32), opts.nlabels, dtype=jnp.float32
+            )
+            stacked = jnp.concatenate([img_hwc.astype(jnp.float32), oh], axis=-1)
+            warped = _gather_bilinear_mm(stacked, coords, precision)
+            w_img = warped[..., : img_hwc.shape[-1]].astype(img_hwc.dtype)
+            w_lbl = jnp.argmax(warped[..., img_hwc.shape[-1] :], axis=-1).astype(
+                lbl_hw.dtype
+            )
+        else:
+            w_img = _gather_bilinear_mm(img_hwc, coords, precision).astype(
+                img_hwc.dtype
+            )
+            w_lbl = _warp_label(
+                lbl_hw, coords, opts.nlabels, opts.label_interp, precision
+            )
+        # gate-off images pass through BIT-EXACT (the warp at identity
+        # coords is only ~exact at HIGH precision; selecting around it is
+        # exact at any precision and matches reference semantics — untouched
+        # images stay untouched, batch_provider.py:194-196)
+        img_out = jnp.where(gate > 0, w_img, img_out)
+        lbl_out = jnp.where(gate > 0, w_lbl, lbl_out)
+
+    # flips are applied LAST in the reference; each has its own
+    # 1/max(2, every_nth) coin (batch_provider.py:253-265). Exact mirrors
+    # (jnp.flip) rather than coord folds: lossless at any warp precision.
     p_flip = max(2, opts.augment_every_nth)
     if opts.do_fliplr:
         flip = jax.random.randint(k_lr, (), 0, p_flip) == 0
-        cols = jnp.where(flip, (nw - 1) - coords[1], coords[1])
-        coords = jnp.stack([coords[0], cols])
+        img_out = jnp.where(flip, jnp.flip(img_out, axis=1), img_out)
+        lbl_out = jnp.where(flip, jnp.flip(lbl_out, axis=1), lbl_out)
     if opts.do_flipud:
         flip = jax.random.randint(k_ud, (), 0, p_flip) == 0
-        rows = jnp.where(flip, (nh - 1) - coords[0], coords[0])
-        coords = jnp.stack([rows, coords[1]])
-
-    if opts.do_elasticaug:
-        d = gate * _elastic_field(k_el, (nh, nw), opts.elastic_sigma)
-        coords = _apply_elastic(coords, d)
-
-    if opts.do_scaleaug:
-        # r ~ U{n-offset .. n} inclusive (np.random.random_integers semantics)
-        r = jax.random.randint(k_r, (), nh - opts.offset, nh + 1)
-        off_r = jax.random.randint(k_py, (), 0, nh - r + 1)
-        off_c = jax.random.randint(k_px, (), 0, nw - r + 1)
-        r = jnp.where(gate > 0, r, nh)
-        off_r = jnp.where(gate > 0, off_r, 0)
-        off_c = jnp.where(gate > 0, off_c, 0)
-        coords = _apply_scale_crop(coords, r, (off_r, off_c), (nh, nw))
-
-    if opts.do_rotations:
-        angle = gate * jax.random.uniform(
-            k_rot, (), minval=-opts.rot_degrees, maxval=opts.rot_degrees
-        )
-        coords = _apply_rotation(coords, angle, (nh, nw))
-
-    if opts.label_interp == "onehot_linear" and opts.nlabels <= 4:
-        # pack image + one-hot label channels into ONE warp pass (image and
-        # label share the exact same sample coordinates), computed as
-        # MXU matmuls (_gather_bilinear_mm) — TPU element gathers were the
-        # augmentation bottleneck (~35 ms/step at bs64, VERDICT r2)
-        oh = jax.nn.one_hot(lbl_hw.astype(jnp.int32), opts.nlabels, dtype=jnp.float32)
-        stacked = jnp.concatenate([img_hwc.astype(jnp.float32), oh], axis=-1)
-        warped = _gather_bilinear_mm(stacked, coords)
-        img_out = warped[..., : img_hwc.shape[-1]].astype(img_hwc.dtype)
-        lbl_out = jnp.argmax(warped[..., img_hwc.shape[-1] :], axis=-1).astype(
-            lbl_hw.dtype
-        )
-    else:
-        img_out = _gather_bilinear_mm(img_hwc, coords).astype(img_hwc.dtype)
-        lbl_out = _warp_label(lbl_hw, coords, opts.nlabels, opts.label_interp)
+        img_out = jnp.where(flip, jnp.flip(img_out, axis=0), img_out)
+        lbl_out = jnp.where(flip, jnp.flip(lbl_out, axis=0), lbl_out)
     return img_out, lbl_out
 
 
