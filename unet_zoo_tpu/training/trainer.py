@@ -523,21 +523,31 @@ class Trainer:
         )
         variables = self._eval_variables()
         val_rng = self._eval_rng()
-        results = []
+        # Enqueue ALL per-image programs, then fetch once: jit dispatch is
+        # async, so the loop costs one upload per image while the device
+        # streams through the queue; the old per-image device_get paid
+        # 2xRTT x n_images of pure tunnel latency (~26 ms RTT here — the
+        # reference logs validation duration as a first-class number,
+        # train_model.py:157,273).
+        chosen = []
+        outs = []
         for ii in range(n_val):
             x = np.asarray(data.validation.images[ii], dtype=np.float32)
             y_all = np.asarray(data.validation.labels[ii])  # (*S, A)
             a = val_rng.choice(annotators)
+            chosen.append(a)
             y_chosen = y_all[..., a]
             y_all_t = np.moveaxis(y_all, -1, 0)  # (A, *S)
-            out = eval_fn(
-                variables,
-                jnp.asarray(x)[None, ..., None],
-                jnp.asarray(y_all_t, dtype=jnp.int32),
-                jnp.asarray(y_chosen, dtype=jnp.int32)[None],
-                jax.random.fold_in(self.state.rng, ii),
+            outs.append(
+                eval_fn(
+                    variables,
+                    jnp.asarray(x)[None, ..., None],
+                    jnp.asarray(y_all_t, dtype=jnp.int32),
+                    jnp.asarray(y_chosen, dtype=jnp.int32)[None],
+                    jax.random.fold_in(self.state.rng, ii),
+                )
             )
-            results.append(jax.device_get(out))
+        results = jax.device_get(outs)
 
         # validation image panels: input / GT / mean prediction / one sample
         # (reference _create_tensorboard_summary, train_model.py:299-331 —
@@ -548,7 +558,9 @@ class Trainer:
             lo, hi = float(x.min()), float(x.max())
             panel = [
                 (x - lo) / max(hi - lo, 1e-8),
-                np.asarray(data.validation.labels[ii])[..., 0] / nlab,
+                # the SAME annotator the Dice above was computed against
+                # (val_rng.choice), not annotator 0
+                np.asarray(data.validation.labels[ii])[..., chosen[ii]] / nlab,
                 np.asarray(results[ii]["mean_pred"]) / nlab,
                 np.asarray(results[ii]["sample0"]) / nlab,
             ]
@@ -781,18 +793,25 @@ class Trainer:
         dice_mat = np.zeros((num_repeats, n_images, cfg.n_classes))
         t0 = time.time()
         for rep in range(num_repeats):
+            # enqueue the whole repeat, fetch once (same pipelining as
+            # validate(): per-image device_get cost 2xRTT x n_images of
+            # tunnel latency); per-repeat chunking keeps at most n_images
+            # small output dicts live on device
+            outs = []
             for ii in range(n_images):
                 x = np.asarray(data.test.images[ii], dtype=np.float32)
                 y_all = np.asarray(data.test.labels[ii])
                 a = test_rng.choice(annotators)
-                out = eval_fn(
-                    variables,
-                    jnp.asarray(x)[None, ..., None],
-                    jnp.asarray(np.moveaxis(y_all, -1, 0), dtype=jnp.int32),
-                    jnp.asarray(y_all[..., a], dtype=jnp.int32)[None],
-                    jax.random.fold_in(self.state.rng, rep * n_images + ii),
+                outs.append(
+                    eval_fn(
+                        variables,
+                        jnp.asarray(x)[None, ..., None],
+                        jnp.asarray(np.moveaxis(y_all, -1, 0), dtype=jnp.int32),
+                        jnp.asarray(y_all[..., a], dtype=jnp.int32)[None],
+                        jax.random.fold_in(self.state.rng, rep * n_images + ii),
+                    )
                 )
-                out = jax.device_get(out)
+            for ii, out in enumerate(jax.device_get(outs)):
                 ged_mat[rep, ii] = out["ged"]
                 ncc_mat[rep, ii] = out["ncc"]
                 dice_mat[rep, ii] = out["dice"]
