@@ -6,7 +6,7 @@ Prints the north-star JSON line {"metric", "value", "unit", "vs_baseline"}
 IMMEDIATELY after the first measurement (flushed — a driver timeout during
 the extras still leaves a parseable record; round-3's rc=124 left none),
 then re-prints a superset line with the extra metrics at the end. Extras
-run under a wall-clock budget (``BENCH_BUDGET_S``, default 480 s measured
+run under a wall-clock budget (``BENCH_BUDGET_S``, default 900 s measured
 from process start): any extra not yet started when the budget is spent is
 recorded as "skipped_budget" instead of risking the driver window.
 vs_baseline is measured/10_000 (the >=10k img/s/chip target — the reference
@@ -18,8 +18,9 @@ scalar is fetched each call — through the remote-TPU tunnel used here,
 readback actually fences execution. Calls are pipelined (enqueue all, then
 fetch) so tunnel round-trip latency doesn't pollute the device number.
 Compiled programs are persisted in a JAX compilation cache
-(``/tmp/jax_cache``) so repeat invocations skip the 1–17-min remote
-compiles entirely.
+(``~/.cache/unet_zoo_tpu/jax``, the CLI default — /tmp is wiped between
+driver sessions) so repeat invocations skip the 1–17-min remote compiles
+entirely.
 """
 
 from __future__ import annotations
@@ -101,7 +102,12 @@ if __name__ == "__main__" and os.environ.get("BENCH_CHILD") != "1":
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Persistent cache (same default as the CLI, experiments/config.py): /tmp is
+# wiped between driver sessions, which made every driver run pay the full
+# 1-17-min remote cold compiles and starve the extras (round-4 VERDICT #3).
+_CACHE_DIR = os.path.expanduser("~/.cache/unet_zoo_tpu/jax")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -316,7 +322,7 @@ def measure_eval100_ms(samples: int = 100) -> float:
 
 
 def main() -> None:
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     images_per_sec, fwd_mfu = measure_unet_fwd()
     north_star = {
         "metric": "unet_fwd_lidc128_images_per_sec_per_chip",
@@ -339,21 +345,24 @@ def main() -> None:
             out[f"{model}_train_bs{bs}_mfu"] = round(mfu, 3)
         return out
 
+    # Ordered most-important-first: when the budget bites, the starred
+    # regression guards (train steps, 100-sample eval — r02 record 69.7 ms)
+    # must die LAST (round-4 VERDICT #3: hostaug starved eval100 twice).
     for name, fn in (
         ("unet_train_bs64", lambda: _train("unet", 64)),
         ("phiseg_train_bs12", lambda: _train("phiseg", 12)),
+        (
+            "phiseg_eval100_ms_per_image",
+            lambda: {
+                "phiseg_eval100_ms_per_image": round(measure_eval100_ms(100), 1)
+            },
+        ),
         (
             "unet_train_bs64_hostaug_img_s",
             lambda: {
                 "unet_train_bs64_hostaug_img_s": round(
                     measure_train_step_host_aug("unet", 64), 1
                 )
-            },
-        ),
-        (
-            "phiseg_eval100_ms_per_image",
-            lambda: {
-                "phiseg_eval100_ms_per_image": round(measure_eval100_ms(100), 1)
             },
         ),
     ):
