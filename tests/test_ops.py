@@ -59,6 +59,26 @@ class TestResize:
         ).numpy()
         np.testing.assert_allclose(np.asarray(got), to_nhwc(want), atol=1e-5)
 
+    @pytest.mark.parametrize("align", [True, False])
+    def test_grad_matches_torch(self, rng, align):
+        """The custom_vjp backward (pre-transposed cotangent einsum,
+        ops/resize.py:_axis_contraction) against torch autograd — external
+        oracle for the hand-written bwd, same rationale as the pool grad
+        test."""
+        x = rng.randn(2, 9, 7, 3).astype(np.float32)
+        got = np.asarray(
+            jax.grad(
+                lambda x: jnp.sum(
+                    ops.resize_linear(x, (17, 13), align_corners=align) ** 2
+                )
+            )(jnp.asarray(x))
+        )
+        tx = torch.tensor(to_nchw(x), requires_grad=True)
+        y = F.interpolate(tx, size=(17, 13), mode="bilinear", align_corners=align)
+        (y**2).sum().backward()
+        want = to_nhwc(tx.grad.numpy())
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
 
 class TestAvgPool:
     @pytest.mark.parametrize("hw", [(8, 8), (7, 7), (3, 3), (9, 5)])
@@ -75,6 +95,26 @@ class TestAvgPool:
             torch.tensor(np.moveaxis(x, -1, 1))
         ).numpy()
         np.testing.assert_allclose(np.asarray(got), np.moveaxis(want, 1, -1), atol=1e-6)
+
+    @pytest.mark.parametrize(
+        "shape", [(2, 8, 8, 3), (2, 7, 7, 3), (2, 9, 5, 3), (1, 5, 6, 7, 2)]
+    )
+    def test_grad_matches_torch(self, rng, shape):
+        """The hand-written custom_vjp backward (pre-transposed per-axis
+        matmuls, ops/pool.py) against torch autograd of the same ceil-mode
+        pool. This needs an EXTERNAL oracle: the DP-vs-single-device grad
+        tests compare two programs that share the same bwd, so a broken
+        einsum there would pass the whole suite while corrupting every
+        model's training gradients."""
+        x = rng.randn(*shape).astype(np.float32)
+        got = np.asarray(
+            jax.grad(lambda x: jnp.sum(ops.avg_pool_ceil(x) ** 2))(jnp.asarray(x))
+        )
+        tx = torch.tensor(np.moveaxis(x, -1, 1), requires_grad=True)
+        pool_cls = torch.nn.AvgPool2d if len(shape) == 4 else torch.nn.AvgPool3d
+        (pool_cls(2, 2, 0, ceil_mode=True)(tx) ** 2).sum().backward()
+        want = np.moveaxis(tx.grad.numpy(), 1, -1)
+        np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 class TestConvBNAct:

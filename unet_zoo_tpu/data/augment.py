@@ -265,8 +265,14 @@ def _augment_one_2d(key, img_hwc, lbl_hw, opts: AugmentOptions):
     the warp default to Precision.HIGH (see AugmentOptions.warp_precision)
     where the old fold-flips-into-coords form needed HIGHEST to keep the
     exactness tests. Flip-after-warp is arithmetically identical to the
-    folded form (a mirror permutes output pixels; each output pixel's
-    interpolation arithmetic is unchanged)."""
+    folded form for rotation/scale (a mirror permutes output pixels;
+    each output pixel's interpolation arithmetic is unchanged) — but NOT
+    for elastic+flip draws at a fixed key: the folded form sampled the
+    random displacement field at unmirrored destination coords, this form
+    effectively samples it at mirrored ones. Same distribution (the field
+    is i.i.d.-smoothed noise), different realization — and flips-after-
+    the-whole-chain is what the reference does (batch_provider.py:253-265),
+    so the per-seed change is a parity improvement, not a regression."""
     nh, nw = img_hwc.shape[0], img_hwc.shape[1]
     (k_gate, k_rot, k_r, k_py, k_px, k_el, k_lr, k_ud) = jax.random.split(key, 8)
 

@@ -665,41 +665,55 @@ class Trainer:
             self._val_cache[key] = self._eval_volume_fn(cfg.validation_samples)
         eval_fn = self._val_cache[key]
         variables = self._eval_variables()
-        results = []
-        hd95_rows = []
+        # Enqueue ALL per-volume programs, then fetch in bounded chunks:
+        # jit dispatch is async, so the device streams through the queue
+        # while the host runs the HD95 EDT on already-fetched volumes —
+        # same pipelining as validate() (the old per-volume device_get
+        # paid 2xRTT of tunnel latency per volume AND serialized the host
+        # EDT against device compute). Chunking bounds live host copies of
+        # the (D, H, W, 3) pred_bin volumes.
+        outs = []
         for ii in range(n_val):
             img, lbl, _pid = data.get(ii, "validation")
-            out = eval_fn(
-                variables,
-                jnp.asarray(img)[None],
-                jnp.asarray(lbl)[None],
-                jax.random.fold_in(self.state.rng, ii),
-            )
-            out = jax.device_get(out)
-            # HD95 per region, host-side EDT (eval-only; reference getHd95,
-            # data/bratsUtils.py:80-93)
-            pred_bin = np.asarray(out["pred_bin"])
-            lbl_np = np.asarray(lbl)
-            hd95_rows.append(
-                [M.hd95(pred_bin[..., c], lbl_np[..., c])
-                 for c in range(lbl_np.shape[-1])]
-            )
-            if ii < 2:  # mid-depth slice panel: image / GT-WT / pred-WT
-                mid = img.shape[0] // 2
-                x_sl = np.asarray(img[mid, ..., 0], dtype=np.float32)
-                lo, hi = float(x_sl.min()), float(x_sl.max())
-                panel = np.concatenate(
-                    [
-                        (x_sl - lo) / max(hi - lo, 1e-8),
-                        lbl_np[mid, ..., 0].astype(np.float32),
-                        pred_bin[mid, ..., 0].astype(np.float32),
-                    ],
-                    axis=1,
+            outs.append(
+                eval_fn(
+                    variables,
+                    jnp.asarray(img)[None],
+                    jnp.asarray(lbl)[None],
+                    jax.random.fold_in(self.state.rng, ii),
                 )
-                self.validation_writer.image(
-                    self.iteration, f"panel_{ii}", panel
+            )
+        results = []
+        hd95_rows = []
+        chunk = 8
+        for base in range(0, n_val, chunk):
+            fetched = jax.device_get(outs[base : base + chunk])
+            for ii, out in enumerate(fetched, start=base):
+                img, lbl, _pid = data.get(ii, "validation")
+                # HD95 per region, host-side EDT (eval-only; reference
+                # getHd95, data/bratsUtils.py:80-93)
+                pred_bin = np.asarray(out["pred_bin"])
+                lbl_np = np.asarray(lbl)
+                hd95_rows.append(
+                    [M.hd95(pred_bin[..., c], lbl_np[..., c])
+                     for c in range(lbl_np.shape[-1])]
                 )
-            results.append(out)
+                if ii < 2:  # mid-depth slice panel: image / GT-WT / pred-WT
+                    mid = img.shape[0] // 2
+                    x_sl = np.asarray(img[mid, ..., 0], dtype=np.float32)
+                    lo, hi = float(x_sl.min()), float(x_sl.max())
+                    panel = np.concatenate(
+                        [
+                            (x_sl - lo) / max(hi - lo, 1e-8),
+                            lbl_np[mid, ..., 0].astype(np.float32),
+                            pred_bin[mid, ..., 0].astype(np.float32),
+                        ],
+                        axis=1,
+                    )
+                    self.validation_writer.image(
+                        self.iteration, f"panel_{ii}", panel
+                    )
+                results.append(out)
         dice_arr = np.stack([r["dice"] for r in results])  # (n, 3) WT/TC/ET
         sens_arr = np.stack([r["sens"] for r in results])
         spec_arr = np.stack([r["spec"] for r in results])
@@ -881,9 +895,14 @@ class Trainer:
         hd95 = np.zeros((num_repeats, n_vols, nreg))
         t0 = time.time()
         for rep in range(num_repeats):
+            # enqueue the whole repeat, then fetch once (same pipelining
+            # as test()/validate(): per-volume device_get paid 2xRTT of
+            # tunnel latency per dispatch and serialized the host HD95
+            # EDT against device compute)
+            outs = []
             for ii in range(n_vols):
                 img, lbl, _pid = data.get(ii, split)
-                out = jax.device_get(
+                outs.append(
                     eval_fn(
                         variables,
                         jnp.asarray(img)[None],
@@ -893,6 +912,8 @@ class Trainer:
                         ),
                     )
                 )
+            for ii, out in enumerate(jax.device_get(outs)):
+                _img, lbl, _pid = data.get(ii, split)
                 dice[rep, ii] = out["dice"]
                 sens[rep, ii] = out["sens"]
                 spec[rep, ii] = out["spec"]
@@ -960,9 +981,14 @@ class Trainer:
         eval_fn = self._val_cache[key]
         variables = self._eval_variables()
         paths = []
-        for ii in range(data.num_examples(split)):
-            img, lbl, pid = data.get(ii, split)
-            out = jax.device_get(
+        n_vols = data.num_examples(split)
+        # enqueue everything, fetch chunked (same pipelining as
+        # validate_brats: the CC-filter + nii write of volume i overlaps
+        # device compute of volume i+1…)
+        outs = []
+        for ii in range(n_vols):
+            img, lbl, _pid = data.get(ii, split)
+            outs.append(
                 eval_fn(
                     variables,
                     jnp.asarray(img)[None],
@@ -970,6 +996,16 @@ class Trainer:
                     jax.random.fold_in(self.state.rng, ii),
                 )
             )
+        chunk = 8
+
+        def _fetch_chunked():
+            for base in range(0, n_vols, chunk):
+                yield from enumerate(
+                    jax.device_get(outs[base : base + chunk]), start=base
+                )
+
+        for ii, out in _fetch_chunked():
+            _img, _lbl, pid = data.get(ii, split)
             wt, tc, et = (np.asarray(out["pred_bin"][..., c]) for c in range(3))
             labels = np.zeros(wt.shape, np.uint8)
             labels[wt] = 2
